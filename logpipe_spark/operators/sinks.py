@@ -1,0 +1,121 @@
+"""Sink fan-out + skew handling + per-partition lineage metrics.
+
+Reference semantics being re-expressed:
+
+- output-file "merge by same filename" append (`logpipe-output-file.c:208-286`)
+  → one single-pass write partitioned by the routing key: every task streams
+  its rows into per-sink directories; no per-sink re-read, no shuffle.
+  (The reference achieves the same single-read/multi-write fan-out in
+  `WriteAllOutputPlugins`, `src/output.c:256-277`.)
+- output-tcp round-robin + failover (`logpipe-output-tcp.c:120-200`)
+  → Spark shuffle + task retry; made explicit for hot keys via salted
+  repartition (``repartition_salted``).
+- HDFS day-dir naming (`logpipe-output-hdfs.c:195-213`) → partition columns;
+  date partitioning is a one-liner for callers that want it.
+- offset/line bookkeeping (`logpipe-input-file.c:1901-1925`) → the lineage
+  metrics table: (run_id, snapshot_id, partition_id, rows_in, parsed,
+  routed, dropped) per input partition, computed in the same pass.
+
+Scale notes: ``fan_out_write`` is ONE job: scan → (optional salted
+repartition) → dynamic-partitioned write. At 10^12 rows the thing to avoid
+is K separate filtered writes (K scans) or an unsalted shuffle where one
+conversation holds 20% of rows. AQE skew handling is on as backup, but the
+salt bounds the worst task deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA_COLS = [
+    "run_id",
+    "snapshot_id",
+    "partition_id",
+    "rows_in",
+    "parsed",
+    "routed",
+    "dropped",
+]
+
+
+def repartition_salted(
+    df: DataFrame,
+    num_partitions: int,
+    key: str = "conv_id",
+    salt_buckets: int = 8,
+    salt_on: str = "turn_idx",
+) -> DataFrame:
+    """Shuffle by (key, hash(salt_on) % salt_buckets) so a hot key spreads
+    over ``salt_buckets`` partitions instead of one straggler task.
+
+    Verification-time ordering is unaffected: the (conv_id, turn_idx)
+    invariant is asserted with an ORDER BY, never by partition layout
+    (SURVEY.md §7.3 hard part (b))."""
+    salt = F.pmod(F.hash(F.col(salt_on)), F.lit(salt_buckets))
+    return df.repartition(num_partitions, F.col(key), salt)
+
+
+def lineage_metrics(
+    routed_df: DataFrame,
+    run_id: str,
+    snapshot_id: int,
+    parsed_col: str = "n_fields",
+    sink_col: str = "sink",
+) -> DataFrame:
+    """Per-input-partition conservation counters, one aggregation pass.
+
+    Conservation law checked by tests: sum(routed) + sum(dropped) ==
+    sum(rows_in) (FIXTURES.md §4). `parsed` counts rows where extraction
+    produced anything (non-null parse marker)."""
+    return (
+        routed_df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count(F.col(parsed_col)).alias("parsed"),
+            F.count(F.col(sink_col)).alias("routed"),
+            F.sum(F.col(sink_col).isNull().cast("long")).alias("dropped"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+            F.col("partition_id").cast("int"),
+            "rows_in",
+            "parsed",
+            "routed",
+            "dropped",
+        )
+    )
+
+
+def fan_out_write(
+    routed_df: DataFrame,
+    out_dir: str,
+    sink_col: str = "sink",
+    mode: str = "overwrite",
+    extra_partition_cols: list[str] | None = None,
+) -> None:
+    """Single-pass dynamic-partitioned fan-out: every routed row lands in
+    ``out_dir/sink=<name>/``. Dropped (NULL-sink) rows are filtered here —
+    after lineage counted them."""
+    parts = [sink_col] + (extra_partition_cols or [])
+    (
+        routed_df.filter(F.col(sink_col).isNotNull())
+        .write.mode(mode)
+        .partitionBy(*parts)
+        .parquet(out_dir)
+    )
+
+
+def sink_counts(routed_df: DataFrame, sink_col: str = "sink") -> DataFrame:
+    """Per-sink aggregate counts (partial+final hash agg — Catalyst default),
+    the §2.5 aggregate requirement: count + distinct convs + total text bytes."""
+    return (
+        routed_df.filter(F.col(sink_col).isNotNull())
+        .groupBy(sink_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""The composed pipeline: source → parse → enrich → route → fan-out + lineage.
+
+This is the Spark-native replacement for the reference's single dataflow
+operator `WriteAllOutputPlugins` (`src/output.c:103-355`): where logpipe
+drives Read → K×Process → M×Write per 100 KB block under epoll, here the
+whole flow is ONE declarative DataFrame chain per snapshot — Catalyst fuses
+parse+route into the scan projection, the enrich join is broadcast (no fact
+shuffle), and the fan-out write is a single dynamic-partitioned pass.
+
+Crash/restart semantics (`src/monitor.c:89-181` + offset commit
+`logpipe-input-file.c:1901-1925`) become: process pending snapshots in
+order; per snapshot overwrite-then-commit via ``SnapshotLedger`` —
+exactly-once instead of the reference's at-least-once.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logpipe_spark.ledger import SnapshotLedger
+from logpipe_spark.operators.enrich import enrich
+from logpipe_spark.operators.parse import extract_builtin, extract_pandas
+from logpipe_spark.operators.route import route
+from logpipe_spark.operators.sinks import (
+    fan_out_write,
+    lineage_metrics,
+    repartition_salted,
+)
+
+
+def build_stage_chain(
+    df: DataFrame,
+    dim: DataFrame,
+    rules: list[dict],
+    parser: str = "builtin",
+) -> DataFrame:
+    """parse → enrich → route on an already-loaded transcript DataFrame.
+    Returns the routed DataFrame (sink column nullable; NULL = dropped)."""
+    parse = extract_pandas if parser == "pandas" else extract_builtin
+    parsed = parse(df)
+    enriched = enrich(parsed, dim, keys=["tool", "role"], how="left")
+    return route(enriched, rules)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    dim: DataFrame,
+    rules: list[dict],
+    run_id: str | None = None,
+    parser: str = "builtin",
+    salt_partitions: int | None = None,
+    fail_after_write_snapshot: int | None = None,
+) -> dict:
+    """Process every pending snapshot under ``src_dir`` exactly once.
+
+    ``fail_after_write_snapshot``: test hook — raise after writing (before
+    committing) that snapshot, simulating a worker crash at the worst moment.
+
+    Returns {run_id, processed: [snapshot ids], lineage_rows: int}.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    ledger = SnapshotLedger(out_dir)
+    data_root = os.path.join(out_dir, "data")
+    lineage_root = os.path.join(out_dir, "lineage")
+    processed = []
+
+    for snap in ledger.pending(src_dir):
+        df = spark.read.parquet(os.path.join(src_dir, f"snapshot={snap}"))
+        routed = build_stage_chain(df, dim, rules, parser=parser)
+        if salt_partitions:
+            routed = repartition_salted(routed, salt_partitions)
+
+        # one cached pass feeds lineage + fan-out (single-read/multi-write,
+        # the reference's output.c:256-277 invariant)
+        routed = routed.persist()
+        lineage = lineage_metrics(routed, run_id, snap)
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(lineage_root, f"snapshot={snap}")
+        )
+        fan_out_write(routed, os.path.join(data_root, f"snapshot={snap}"))
+        routed.unpersist()
+
+        if fail_after_write_snapshot == snap:
+            raise RuntimeError(f"injected crash after write of snapshot {snap}")
+
+        ledger.commit(snap, run_id)
+        processed.append(snap)
+
+    return {"run_id": run_id, "processed": processed}
+
+
+def read_sinks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All routed rows across committed snapshots, with sink + snapshot cols.
+
+    Only committed snapshots are visible — an uncommitted (crashed) write is
+    invisible to readers, mirroring Iceberg snapshot isolation."""
+    ledger = SnapshotLedger(out_dir)
+    committed = sorted(ledger.committed())
+    if not committed:
+        raise ValueError(f"no committed snapshots under {out_dir}")
+    # a snapshot where every row was dropped writes no parquet files — skip it
+    paths = [
+        p
+        for s in committed
+        if os.path.isdir(p := os.path.join(out_dir, "data", f"snapshot={s}"))
+        and any(n.startswith("sink=") for n in os.listdir(p))
+    ]
+    if not paths:
+        raise ValueError(
+            f"no routed rows in any committed snapshot under {out_dir} "
+            "(every row dropped by the route rules?)"
+        )
+    return spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(*paths)
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    ledger = SnapshotLedger(out_dir)
+    committed = sorted(ledger.committed())
+    paths = [os.path.join(out_dir, "lineage", f"snapshot={s}") for s in committed]
+    return spark.read.option(
+        "basePath", os.path.join(out_dir, "lineage")
+    ).parquet(*paths)
+
+
+def sink_table(spark: SparkSession, out_dir: str, sink: str) -> DataFrame:
+    return read_sinks(spark, out_dir).filter(F.col("sink") == sink)

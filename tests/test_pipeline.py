@@ -1,0 +1,113 @@
+"""End-to-end slice (SURVEY.md §7.1): snapshots → parse → enrich → route →
+fan-out sinks + lineage, checked against the pure-Python oracle for
+per-sink counts AND row-for-row text equality under (conv_id, turn_idx)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.ledger import SnapshotLedger, write_snapshots
+from logpipe_spark.pipeline import (
+    read_lineage,
+    read_sinks,
+    run_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe_out(spark, transcripts_pdf, dim_df, rules, tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipe")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    write_snapshots(transcripts_pdf, src, n_snapshots=4)
+    res = run_pipeline(spark, src, out, dim_df, rules, salt_partitions=8)
+    assert res["processed"] == [0, 1, 2, 3]
+    return out
+
+
+def test_per_sink_counts_match_oracle(spark, pipe_out, golden):
+    got = {
+        r["sink"]: r["n"]
+        for r in read_sinks(spark, pipe_out)
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == dict(golden["sink_counts"])
+
+
+def test_routed_row_text_equality(spark, pipe_out, golden):
+    """The reference's byte-identical forwarded-file check (README.md:404-445)
+    re-expressed: per-sink rows equal the oracle's, row-for-row, under
+    stable (sink, conv_id, turn_idx) order."""
+    got = (
+        read_sinks(spark, pipe_out)
+        .select("sink", "conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["sink", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = golden["routed"][["sink", "conv_id", "turn_idx", "text"]].reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["sink"].values == exp["sink"].values).all()
+    assert (got["conv_id"].values == exp["conv_id"].values).all()
+    assert (got["turn_idx"].values == exp["turn_idx"].values).all()
+    assert got["text"].tolist() == exp["text"].tolist()
+
+
+def test_enrichment_columns(spark, pipe_out, golden):
+    df = read_sinks(spark, pipe_out)
+    n_unmatched = df.filter(F.col("tool_family").isNull()).count()
+    exp_unmatched_routed = int(golden["routed"]["tool_family"].isna().sum())
+    assert n_unmatched == exp_unmatched_routed
+    assert df.filter(F.col("sink_hint").isNotNull()).count() > 0
+
+
+def test_lineage_conservation(spark, pipe_out, golden, transcripts_pdf):
+    lin = read_lineage(spark, pipe_out)
+    agg = lin.agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("routed").alias("routed"),
+        F.sum("dropped").alias("dropped"),
+    ).collect()[0]
+    assert agg["rows_in"] == len(transcripts_pdf)
+    assert agg["routed"] + agg["dropped"] == agg["rows_in"]
+    assert agg["dropped"] == golden["dropped"]
+    assert agg["routed"] == sum(golden["sink_counts"].values())
+
+
+def test_rerun_is_noop(spark, pipe_out, dim_df, rules, transcripts_pdf):
+    """Idempotence: a second run over a fully-committed source processes
+    nothing and row counts are unchanged."""
+    src = pipe_out.replace("/out", "/src")
+    before = read_sinks(spark, pipe_out).count()
+    res = run_pipeline(spark, src, pipe_out, dim_df, rules)
+    assert res["processed"] == []
+    assert read_sinks(spark, pipe_out).count() == before
+
+
+def test_resume_after_crash(spark, transcripts_pdf, dim_df, rules, golden, tmp_path_factory):
+    """Kill between write and commit of snapshot 1; resume; assert zero
+    duplicate routed rows (SURVEY.md §5 invariant 3)."""
+    root = tmp_path_factory.mktemp("crash")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    write_snapshots(transcripts_pdf, src, n_snapshots=3)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_pipeline(spark, src, out, dim_df, rules, fail_after_write_snapshot=1)
+    assert SnapshotLedger(out).committed() == {0}
+
+    res = run_pipeline(spark, src, out, dim_df, rules)
+    assert res["processed"] == [1, 2]
+
+    df = read_sinks(spark, out)
+    assert df.count() == sum(golden["sink_counts"].values())
+    dups = (
+        df.groupBy("conv_id", "turn_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dups == 0
