@@ -1,38 +1,431 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a north-rule / training-data addition) against the driver-provided
+parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Where a rule table drives both sides (routing), the SQL CASE expression is
+*generated from the same rule list* as the Spark plan, so parity is
+structural, not hand-kept.
+
+Column names are aliased identically on both sides (the driver hashes
+values under sorted column names). Float-valued aggregates are expressed
+in exact integer arithmetic (floor-cents) to keep value hashes stable
+across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logpipe_spark.globs import glob_to_regex
+from logpipe_spark.operators.enrich import enrich
+from logpipe_spark.operators.parse import n_fields_col
+from logpipe_spark.operators.route import route
+from logpipe_spark.operators.dedup import (
+    exact_dedup_stats,
+    fingerprint_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from logpipe_spark.operators.similarity import cosine_topk
+from logpipe_spark.operators.textstats import lang_quality_stats, token_stats
+
+SF001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# routing rule tables (glob semantics of IsMatchString,
+# src-plugins/logpipe-input-file.c:477-529; first match wins :593-739)
+# ---------------------------------------------------------------------------
+
+EVENT_RULES = [
+    {"rule_id": 5, "match_col": "event_type", "pattern": "click", "exclude": True, "sink": "DROP"},
+    {"rule_id": 10, "match_col": "event_type", "pattern": "error", "exclude": False, "sink": "sink_errors"},
+    {"rule_id": 20, "match_col": "event_type", "pattern": "purchase", "exclude": False, "sink": "sink_txn"},
+    {"rule_id": 21, "match_col": "event_type", "pattern": "s?gnup", "exclude": False, "sink": "sink_txn"},
+    {"rule_id": 99, "match_col": "event_type", "pattern": "*", "exclude": False, "sink": "sink_default"},
+]
+
+DOC_RULES = [
+    {"rule_id": 5, "match_col": "text", "pattern": "*slow*", "exclude": True, "sink": "DROP"},
+    {"rule_id": 10, "match_col": "lang", "pattern": "zh", "exclude": False, "sink": "sink_zh"},
+    {"rule_id": 20, "match_col": "lang", "pattern": "e?", "exclude": False, "sink": "sink_latin"},
+    {"rule_id": 30, "match_col": "source", "pattern": "src1*", "exclude": False, "sink": "sink_src1x"},
+    {"rule_id": 99, "match_col": "lang", "pattern": "*", "exclude": False, "sink": "sink_other"},
+]
+
+
+def rules_to_sql_case(rules: list[dict]) -> str:
+    """The same first-match-wins rule walk as operators/route.compile_rules,
+    rendered as a DuckDB CASE expression."""
+    parts = []
+    for r in sorted(rules, key=lambda x: x["rule_id"]):
+        rx = glob_to_regex(r["pattern"]).replace("'", "''")
+        tgt = "NULL" if (r["exclude"] or r["sink"] == "DROP") else f"'{r['sink']}'"
+        parts.append(f"WHEN regexp_matches({r['match_col']}, '{rx}') THEN {tgt}")
+    return "CASE " + " ".join(parts) + " ELSE NULL END"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries — (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_parse_extract(spark, sf_dir):
+    """§2.2 unpack-metadata / grok: regex field extraction from a text col."""
+    ev = _t(spark, sf_dir, "events")
+    pat = r'"k": (\d+)'
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("props").rlike(pat), F.regexp_extract("props", pat, 1))
+        .cast("int")
+        .alias("k_val"),
+    )
+
+
+def q_route_fanout(spark, sf_dir):
+    """§2.3 rule-routed fan-out + §2.5 per-sink aggregate counts."""
+    ev = _t(spark, sf_dir, "events")
+    routed = route(ev, EVENT_RULES)
+    return (
+        routed.filter(F.col("sink").isNotNull())
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+def q_route_dropped(spark, sf_dir):
+    """Dropped-row accounting (exclude rules → lineage 'dropped' counter)."""
+    ev = _t(spark, sf_dir, "events")
+    routed = route(ev, EVENT_RULES)
+    return routed.agg(
+        F.sum(F.col("sink").isNull().cast("long")).alias("dropped"),
+        F.sum(F.col("sink").isNotNull().cast("long")).alias("routed"),
+    )
+
+
+def q_enrich_broadcast(spark, sf_dir):
+    """North-rule broadcast hash join: orders ⋈ customer (dim side tiny)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = enrich(orders, cust.withColumnRenamed("c_custkey", "o_custkey"), keys=["o_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+def q_enrich_anti(spark, sf_dir):
+    """Left-anti accounting: orders whose customer key misses the dim."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    missing = orders.join(
+        F.broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")),
+        on=["o_custkey"],
+        how="left_anti",
+    )
+    return missing.agg(F.count(F.lit(1)).alias("n_unmatched"))
+
+
+def q_agg_persink(spark, sf_dir):
+    """§2.5 hash aggregate (TPC-H Q1 shape) in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-30"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_window_topk(spark, sf_dir):
+    """§2.5 window/top-k: 2 highest-value orders per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Stateful analogue: 30-min-gap sessionization per user (lag + cumsum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # exact integer µs
+    gap = us - F.lag(us, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_grep_filter(spark, sf_dir):
+    """§2.4 grep: substring keep-filter (logpipe-output-es.c:610-617)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains("spark"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_tokenize_fields(spark, sf_dir):
+    """§2.4 separator-charset field split, separator runs collapsed."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_fields", n_fields_col(F.col("text")))
+        .groupBy("n_fields")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_template_project(spark, sf_dir):
+    """§2.4 `$N` template instantiation ($0=routing key, $1..$N=fields;
+    logpipe-output-es.c:464-517)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("src="), F.col("source"),
+            F.lit(" f1="), F.element_at(toks, 1),
+            F.lit(" f2="), F.element_at(toks, 2),
+        ).alias("rendered"),
+    )
+
+
+def q_doc_route(spark, sf_dir):
+    """Glob + grep routing over documents (lang/source/exclude rules)."""
+    docs = _t(spark, sf_dir, "documents")
+    routed = route(docs, DOC_RULES)
+    return (
+        routed.filter(F.col("sink").isNotNull())
+        .groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    return fingerprint_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_text_quality(spark, sf_dir):
+    return lang_quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_t(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse → route → per-sink aggregate on sf0.001 events."""
+    return q_route_fanout(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_extract": q_parse_extract,
+        "route_fanout": q_route_fanout,
+        "route_dropped": q_route_dropped,
+        "enrich_broadcast": q_enrich_broadcast,
+        "enrich_anti": q_enrich_anti,
+        "agg_persink": q_agg_persink,
+        "window_topk": q_window_topk,
+        "sessionize": q_sessionize,
+        "grep_filter": q_grep_filter,
+        "tokenize_fields": q_tokenize_fields,
+        "template_project": q_template_project,
+        "doc_route": q_doc_route,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_quality": q_text_quality,
+        "token_stats": q_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev_case = rules_to_sql_case(EVENT_RULES)
+    doc_case = rules_to_sql_case(DOC_RULES)
+    return {
+        "parse_extract": """
+            SELECT event_id, event_type,
+                   CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_val
+            FROM events
+        """,
+        "route_fanout": f"""
+            WITH routed AS (SELECT *, {ev_case} AS sink FROM events)
+            SELECT sink,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+            FROM routed WHERE sink IS NOT NULL GROUP BY sink
+        """,
+        "route_dropped": f"""
+            WITH routed AS (SELECT {ev_case} AS sink FROM events)
+            SELECT SUM(CASE WHEN sink IS NULL THEN 1 ELSE 0 END) AS dropped,
+                   SUM(CASE WHEN sink IS NOT NULL THEN 1 ELSE 0 END) AS routed
+            FROM routed
+        """,
+        "enrich_broadcast": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "enrich_anti": """
+            SELECT COUNT(*) AS n_unmatched
+            FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        """,
+        "agg_persink": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 2
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                 > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM g
+            )
+            SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "grep_filter": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents
+            WHERE position('spark' IN text) > 0 GROUP BY lang
+        """,
+        "tokenize_fields": """
+            SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+                       AS n_fields,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "template_project": """
+            SELECT doc_id,
+                   'src=' || source || ' f1=' || string_split(text, ' ')[1]
+                          || ' f2=' || string_split(text, ' ')[2] AS rendered
+            FROM documents
+        """,
+        "doc_route": f"""
+            WITH routed AS (SELECT *, {doc_case} AS sink FROM documents)
+            SELECT sink, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+            FROM routed WHERE sink IS NOT NULL GROUP BY sink
+        """,
+        "dedup_exact": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5(text)) AS n_unique,
+                   CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows
+            FROM documents
+        """,
+        "dedup_fingerprint": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct(
+                           list_filter(string_split(lower(text), ' '), x -> x <> ''))),
+                           ' ')) AS fingerprint
+                FROM documents)
+            SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+            FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qv AS DOUBLE[])) AS sim
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> 0)
+            SELECT vec_id FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "text_quality": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars,
+                   SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS BIGINT)) AS total_tokens,
+                   SUM(CASE WHEN position('the' IN text) > 0 THEN 1 ELSE 0 END)
+                       AS docs_with_stopword
+            FROM documents GROUP BY lang
+        """,
+        "token_stats": """
+            SELECT CAST(length(text) AS BIGINT) AS len_chars,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS BIGINT) AS n_tokens,
+                   doc_id
+            FROM documents
+        """,
+        # dedup_ngram_jaccard / dedup_minhash / dedup_simhash: omitted —
+        # hash-mixing / banding not expressible in portable SQL; the driver
+        # records the weaker rows-only check, and tests/test_dedup.py holds
+        # the strong property-based checks.
+    }

@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: turns/sec of the flagship parse → enrich → route pipeline over a
+deterministic synthetic transcript table sized to the scale factor
+(BASELINE.json north rule), plus per-query seconds for the SURVEY §2
+operator queries on the driver-provided parquet at $SPARK_GRAFT_SF_DIR.
+
+Scaling evidence (north rule: ≥0.8 efficiency from N to 4N parallelism):
+the same pipeline is re-run in subprocesses at local[N] and local[4N] on
+the same input; efficiency = T_N / (4 · T_4N). Skip with
+SPARK_GRAFT_BENCH_SCALING=0.
+
+Reference baseline being matched: logpipe moves a 112,530,011-byte file in
+0.7 s single-core (~160 MB/s, ~2.0 M lines/s at 80 B/line — README.md:1326).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = "/tmp/logpipe_bench_cache"
+
+# bench transcript rows per sf (≈ lineitem row count at that sf)
+SF_TURNS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def _bench_table(n_turns: int, n_files: int = 32) -> str:
+    """Deterministic transcript table (multi-file parquet dir, splittable),
+    cached under /tmp."""
+    path = os.path.join(CACHE, f"transcripts_{n_turns}")
+    marker = os.path.join(path, f"part-{n_files - 1:05d}.parquet")
+    if not os.path.exists(marker):
+        from logpipe_spark.fixtures import write_transcripts_dir
+
+        write_transcripts_dir(path, n_turns, n_files=n_files)
+    return path
+
+
+def _replicated_table(spark, seed_path: str, factor: int, out_name: str) -> str:
+    """Scale a seed transcript table ``factor``× with Spark (deterministic:
+    conv_id gets a replica suffix, so keys stay unique). Pandas object-string
+    generation is O(minutes) at 10^7 rows; this is seconds on 32 cores."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(CACHE, out_name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = spark.read.parquet(seed_path)
+        reps = spark.range(factor).withColumnRenamed("id", "_rep")
+        big = (
+            df.crossJoin(F.broadcast(reps))
+            .withColumn("conv_id", F.concat_ws("_", "conv_id", "_rep"))
+            .drop("_rep")
+        )
+        big.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_flagship(spark, src_path: str) -> float:
+    """One timed pass: read → parse → broadcast enrich → route → per-sink
+    agg. The aggregate touches every derived column family (parse, enrich,
+    route) — otherwise Catalyst column-prunes the extraction away and the
+    'pipeline' benchmark measures only the routing CASE."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.fixtures import default_route_rules, gen_tool_role_dim
+    from logpipe_spark.pipeline import build_stage_chain
+
+    df = spark.read.parquet(src_path)
+    dim = spark.createDataFrame(gen_tool_role_dim())
+    routed = build_stage_chain(df, dim, default_route_rules())
+    t0 = time.perf_counter()
+    routed.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.count("tool_called").alias("n_calls"),
+        F.sum("error_code").alias("err_sum"),
+        F.max("meta_offset").alias("max_off"),
+        F.sum("n_fields").alias("fields"),
+        F.countDistinct("tool_family").alias("fams"),
+        F.max("priority").alias("max_prio"),
+    ).collect()
+    return time.perf_counter() - t0
+
+
+def scaling_worker(cores: int, src_path: str) -> None:
+    """Subprocess entry: print pipeline seconds at local[cores]."""
+    from logpipe_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench_scaling_{cores}",
+                      shuffle_partitions=cores)
+    run_flagship(spark, src_path)  # warmup (JIT + parquet footer cache)
+    # best-of-3: the sandbox is a shared host with double-digit run-to-run
+    # variance at high thread counts; min is the least-interfered estimate
+    best = min(run_flagship(spark, src_path) for _ in range(3))
+    print(json.dumps({"cores": cores, "sec": best}))
+    spark.stop()
+
+
+def measure_scaling(src_path: str, points: tuple[int, ...]) -> dict:
+    """Same job at each parallelism level in its own JVM; efficiency between
+    consecutive points i→j = T_i / ((j/i) · T_j)."""
+    secs = {}
+    for cores in points:
+        r = subprocess.run(
+            [sys.executable, __file__, "--scaling-worker", str(cores), src_path],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        secs[cores] = json.loads(line)["sec"]
+    out: dict = {f"sec_local[{c}]": round(s, 3) for c, s in secs.items()}
+    for a, b in zip(points, points[1:]):
+        out[f"efficiency_{a}to{b}"] = round(secs[a] / ((b / a) * secs[b]), 3)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import __spark_entry__ as entry_mod
+    from logpipe_spark.session import get_spark
+
+    sf = _sf_name()
+    # 4× pandas-generated seed, replicated 10× by Spark (24M turns at
+    # sf0.1) so the N vs 4N scaling comparison measures compute, not
+    # scheduler fixed overhead: the small-parallelism run must take
+    # seconds, not milliseconds, for efficiency = T_N/(4·T_4N) to mean much
+    seed_turns = 4 * SF_TURNS.get(sf, 600_000)
+    seed_path = _bench_table(seed_turns, n_files=32)
+
+    spark = get_spark(cores=CPUS, app_name="logpipe_bench",
+                      shuffle_partitions=CPUS)
+    n_turns = 10 * seed_turns
+    src_path = _replicated_table(spark, seed_path, 10, f"transcripts_big_{n_turns}")
+
+    timings: dict[str, float] = {}
+
+    # headline pipeline (warmup then best-of-2)
+    run_flagship(spark, src_path)
+    pipeline_sec = min(run_flagship(spark, src_path) for _ in range(2))
+    timings["pipeline_parse_route"] = round(pipeline_sec, 4)
+    turns_per_sec = n_turns / pipeline_sec
+
+    # operator queries on driver-provided parquet
+    bench_queries = [
+        "parse_extract", "route_fanout", "enrich_broadcast", "agg_persink",
+        "window_topk", "sessionize", "doc_route", "dedup_fingerprint",
+        "dedup_minhash", "ann_cosine_topk", "text_quality",
+    ]
+    qs = entry_mod.queries()
+    for name in bench_queries:
+        fn = qs[name]
+        fn(spark, SF_DIR).collect()  # warmup
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    spark.stop()
+
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        # N→4N twice: 2→8 (clean CPUs, demonstrates the ≥0.8 criterion) and
+        # 8→32 (full box; saturates on shared-host memory bandwidth — both
+        # reported, see BENCH.md)
+        points = (2, 8, CPUS) if CPUS >= 32 else (2, 8)
+        scaling = measure_scaling(src_path, points)
+        for c in points:
+            scaling[f"turns_per_sec_local[{c}]"] = round(
+                n_turns / scaling[f"sec_local[{c}]"]
+            )
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_seconds(queries)+parse_route_pipeline",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_turns": n_turns,
+                "turns_per_sec": round(turns_per_sec),
+                "scaling": scaling,
+                "cores": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

@@ -179,3 +179,21 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = SEED) -> str:
     df = gen_transcripts(n_turns, seed=seed)
     df.to_parquet(path, index=False)
     return path
+
+
+def write_transcripts_dir(
+    path: str, n_turns: int, n_files: int = 32, seed: int = SEED
+) -> str:
+    """Materialize a transcript fixture as a directory of ``n_files``
+    parquet parts — a realistic splittable table layout (a single
+    pandas-written file is one row group = one Spark input split, which
+    serializes the scan and hides all parallelism)."""
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    df = gen_transcripts(n_turns, seed=seed)
+    for i, chunk in enumerate(np.array_split(df.index, n_files)):
+        df.loc[chunk].to_parquet(
+            os.path.join(path, f"part-{i:05d}.parquet"), index=False
+        )
+    return path

@@ -1,0 +1,283 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference deduplicates nothing (its contract is byte-faithful
+forwarding), but a 100 TB transcript/document corpus needs dedup as a
+first-class routing stage: these operators slot in between parse and route
+(drop or down-weight duplicate turns/documents before fan-out).
+
+Scale design:
+
+- exact / fingerprint: hash-groupBy — one shuffle on a 16-byte key, partial
+  aggregation map-side; at 10^12 rows this is the cheapest possible dedup.
+- n-gram Jaccard: inverted-index self-join on shingles (NOT an O(n²) cross
+  join) — explode to (shingle, doc), self-join per shingle, count
+  intersections, compute Jaccard from |A|, |B|, |A∩B|. Shingle-frequency
+  cap drops stop-shingles that would quadratically blow up a hot key.
+- MinHash + LSH: per-doc signature via min over k seeded 64-bit hashes
+  (xxhash64, JVM-side), banded into b buckets; candidate pairs only where a
+  band collides. Classic MMDS construction; all built-in exprs, no UDF.
+- SimHash: 64-bit majority-vote sketch via an Arrow-batched pandas UDF
+  (bit-twiddling is the one thing DataFrame exprs express poorly) —
+  the documented "custom sketch" escape hatch.
+
+Everything is deterministic (seeded hash functions, no RNG at runtime).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _tokens(text: Column) -> Column:
+    """Non-empty lowercase whitespace tokens (separator runs collapse,
+    matching the reference tokenizer `logpipe-output-es.c:642-661`)."""
+    return F.filter(F.split(F.lower(text), " "), lambda x: x != F.lit(""))
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct n-gram token shingles as strings (JVM higher-order fns)."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint
+# ---------------------------------------------------------------------------
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate stats via md5 hash-groupBy."""
+    h = F.md5(F.col(text_col))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).cast("long").alias("n_dup_rows"),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact text (lowest key wins — deterministic)."""
+    w_min = F.min(key_col).over
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        docs.withColumn("_keep", F.min(key_col).over(w) == F.col(key_col))
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Near-dup groups under a bag-of-words fingerprint: md5 of the sorted
+    distinct token set. Catches reorderings/duplicated-word edits that
+    exact dedup misses, still one hash-groupBy shuffle."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
+    )
+    return (
+        docs.select(F.col(key_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(key_col).alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """All pairs with token-n-gram Jaccard ≥ threshold.
+
+    Plan shape: explode → (optional hot-shingle cap) → self-join on shingle
+    → count pairwise intersections → join per-doc sizes → filter. The only
+    quadratic term is per-shingle, bounded by ``max_shingle_freq``."""
+    sh = docs.select(
+        F.col(key_col).alias("doc"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(
+        F.broadcast(freq.filter(F.col("df") > max_shingle_freq)),
+        "shingle",
+        "left_anti",
+    )
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, i). One fold over the shingle array computing all k
+    mins at once (aggregate + zip_with) — a single expression per row, no
+    explode, no shuffle, and no k-fold re-derivation of the shingles (a
+    naive per-hash transform makes Catalyst inline the shingle expression
+    k times and codegen collapses)."""
+    max_long = F.lit(9223372036854775807).cast("long")
+    sig = F.aggregate(
+        _shingles(F.col(text_col), n),
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.xxhash64(s, i),
+            ),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+    return docs.select(F.col(key_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    rows = num_hashes // bands per band; two docs are candidates iff some
+    band's row-slice hashes equal. Shuffle key is (band_id, band_hash) —
+    uniform by construction, no skew. Returns candidates with the estimated
+    Jaccard (matching signature fraction)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, key_col)
+    banded = sigs.select(
+        key_col,
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "signature", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(len(range(num_hashes))))
+    return cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF sketch)
+# ---------------------------------------------------------------------------
+
+def _simhash64(tokens: list[str]) -> int:
+    """Deterministic 64-bit SimHash (md5-derived token hashes)."""
+    acc = [0] * 64
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    v = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            v |= 1 << bit
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement into int64
+
+
+@pandas_udf(T.LongType())
+def _simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(
+        lambda t: _simhash64([w for w in t.lower().split(" ") if w])
+    ).astype("int64")
+
+
+def simhash_buckets(
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id", bucket_bits: int = 16
+) -> DataFrame:
+    """doc → (simhash, bucket): near-dups collide in high-bit buckets;
+    callers groupBy bucket then verify with hamming distance."""
+    sh = _simhash_udf(F.col(text_col))
+    return docs.select(
+        F.col(key_col),
+        sh.alias("simhash"),
+        F.shiftrightunsigned(sh, 64 - bucket_bits).alias("bucket"),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — bit_count is native in Spark 3.5+/4.x."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with the dot product
+expressed in JVM higher-order functions (`zip_with` + `aggregate`), no
+Python in the loop. At 100 TB the scale path is LSH bucketing (random
+hyperplane signs) so each query touches ~1/2^bits of the corpus; both share
+the same scoring expression.
+
+Everything is deterministic: hyperplanes are seeded numpy, embedded as
+literal arrays (broadcast once, tiny).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — zip_with + aggregate, whole-stage codegen, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against the embedding of ``query_vec_id``.
+
+    The query row is broadcast-cross-joined (1 row → zero shuffle of the
+    corpus side); ordering ties broken by id for determinism. Returns the
+    id set only (float similarity is engine-specific in the last ulp)."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("_qv")).alias("sim"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col)
+    )
+
+
+def cosine_topk_scored(
+    emb: DataFrame, query_vec_id: int, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Same as cosine_topk but keeps the similarity column (for tests)."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qv"))
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, cosine(F.col(vec_col), F.col("_qv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i). Pure exprs."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(vec, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """LSH-bucketed ANN: score only vectors whose hyperplane signature is
+    within ``probe_hamming`` bits of the query's (multi-probe). At scale
+    the bucket column is precomputed and the table partitioned by it, so a
+    query prunes to a handful of partitions instead of a full scan."""
+    planes = _hyperplanes(dim, bits)
+    with_bucket = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv"), F.col("_bucket").alias("_qbucket")
+    )
+    cand = (
+        with_bucket.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            F.bit_count(F.col("_bucket").bitwiseXOR(F.col("_qbucket")))
+            <= probe_hamming
+        )
+    )
+    return (
+        cand.select(id_col, cosine(F.col(vec_col), F.col("_qv")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "sim")
+    )

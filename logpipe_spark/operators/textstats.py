@@ -1,0 +1,135 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure `pyspark.sql.functions` (JVM-side,
+codegen) — a 100 TB corpus pass adds no Python cost.
+
+These generalize the reference's only text introspection — newline/field
+counting (`logpipe-input-file.c:531-548`, `logpipe-output-es.c:628-661`) —
+into the metrics a training-data pipeline routes and filters on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.parse import n_fields_col
+
+# tiny per-language marker sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "und", "ist"],
+    "fr": ["le", "et", "est"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, separator runs collapsed."""
+    return n_fields_col(text).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish upper bound: word pieces ≈ words + extra pieces for long
+    words (every 4 chars beyond the first 4) + punctuation splits.
+    Regex-only, deterministic, no tokenizer dependency."""
+    words = F.filter(F.split(text, r"[\s]+"), lambda x: x != F.lit(""))
+    pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + 1
+        + F.floor((F.length(w) - 1) / 4).cast("long")
+        + F.length(F.regexp_replace(w, r"[\w]", "")).cast("long"),
+    )
+    return pieces
+
+
+def punct_ratio(text: Column) -> Column:
+    non_word = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return non_word / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    toks = F.filter(F.split(F.lower(text), " "), lambda x: x != F.lit(""))
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def quality_score(text: Column) -> Column:
+    """Integer 0-100 quality score from length / punct / stopword ratios
+    (the usual pre-training heuristics, integer-scaled for engine-exact
+    comparison). Higher = keep."""
+    length_ok = (F.length(text) >= 40) & (F.length(text) <= 100_000)
+    punct_ok = punct_ratio(text) < 0.3
+    stop_ok = stopword_hits(text) > 0
+    tokens_ok = token_count(text) >= 5
+    return (
+        length_ok.cast("int") * 40
+        + punct_ok.cast("int") * 20
+        + stop_ok.cast("int") * 20
+        + tokens_ok.cast("int") * 20
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword language ID: the language with the most marker hits;
+    'und' when nothing matches. CASE-chain over integer counts — exact."""
+    toks = F.filter(F.split(F.lower(text), " "), lambda x: x != F.lit(""))
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(m)))
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # dict order = tie-break priority, deterministic
+        expr = expr.when(counts[lang] == best, F.lit(lang))
+    return expr
+
+
+def rolling_fingerprint(text: Column, window: int = 16) -> Column:
+    """Document fingerprint: md5 over the text's char-32-gram skeleton —
+    cheap shift-resistant hash (winnowing-lite). Deterministic, JVM-only."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.substring(text, 1, window),
+            F.substring(text, -window, window),
+            F.length(text).cast("string"),
+            F.md5(text),
+        )
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Per-doc char/token counts (oracle-checked)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.length(t).cast("long").alias("len_chars"),
+        token_count(t).alias("n_tokens"),
+        F.col(key_col),
+    )
+
+
+def lang_quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus stats (oracle-checked, exact integer outputs)."""
+    t = F.col(text_col)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count(t)).alias("total_tokens"),
+        F.sum(t.contains("the").cast("int")).alias("docs_with_stopword"),
+    )
+
+
+def doc_quality(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality + heuristic lang + fingerprint — the full
+    training-data annotation pass, one scan, zero Python."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(key_col),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+        rolling_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,94 @@
+"""Dedup operator properties on crafted corpora (numpy oracle where cheap)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_stats,
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the old river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the old river bend"),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions and joins here"),
+        (4, "another unrelated document that talks about parquet files and pruning"),
+        (5, "the quick brown fox jumps over the lazy dog near the old river bank today"),  # near dup
+        (6, "word " * 20),
+        (7, "word " * 20),  # exact dup of 6
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).cache()
+
+
+def test_exact_dedup_stats(docs):
+    row = exact_dedup_stats(docs).collect()[0]
+    assert row["n_docs"] == 8
+    assert row["n_unique"] == 6
+    assert row["n_dup_rows"] == 2
+
+
+def test_exact_dedup_keeps_lowest_key(docs):
+    kept = {r["doc_id"] for r in exact_dedup(docs).select("doc_id").collect()}
+    assert kept == {0, 2, 3, 4, 5, 6}
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup → jaccard 1.0
+    assert (0, 2) in pairs  # one-word edit
+    assert (6, 7) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_candidates_superset_of_true_dups(docs):
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=32, bands=8).collect()
+    }
+    # exact duplicates MUST collide in every band
+    assert (0, 1) in cand
+    assert (6, 7) in cand
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=32, bands=8).collect()
+    }
+    assert est[(0, 1)] == 1.0
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_buckets(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical sketch
+    assert sh[6] == sh[7]
+    # near-dup hamming distance is small; unrelated is larger
+    df = simhash_buckets(docs)
+    a = df.filter(F.col("doc_id") == 0).select(F.col("simhash").alias("a"))
+    for other, bound, cmp in [(2, 12, "le"), (3, 10, "gt")]:
+        b = df.filter(F.col("doc_id") == other).select(F.col("simhash").alias("b"))
+        d = a.crossJoin(b).select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+        if cmp == "le":
+            assert d <= bound, f"near-dup hamming {d} too large"
+        else:
+            assert d > bound, f"unrelated hamming {d} too small"
+
+
+def test_deterministic_across_runs(docs):
+    s1 = sorted(simhash_buckets(docs).collect())
+    s2 = sorted(simhash_buckets(docs).collect())
+    assert s1 == s2
+    m1 = sorted(minhash_lsh_pairs(docs).collect())
+    m2 = sorted(minhash_lsh_pairs(docs).collect())
+    assert m1 == m2

@@ -1,0 +1,74 @@
+"""ANN operators vs a numpy oracle on the driver-provided embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_lsh,
+    cosine_topk_scored,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.toPandas()
+    return {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+
+
+def _np_topk(emb_np, qid, k):
+    q = emb_np[qid]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in emb_np.items()
+        if vid != qid
+    }
+    return [vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+def test_bruteforce_matches_numpy(emb, emb_np):
+    got = [r["vec_id"] for r in cosine_topk(emb, query_vec_id=0, k=10).collect()]
+    exp = _np_topk(emb_np, 0, 10)
+    assert sorted(got) == sorted(exp)
+
+
+def test_scored_sims_close_to_numpy(emb, emb_np):
+    rows = cosine_topk_scored(emb, query_vec_id=3, k=5).collect()
+    q = emb_np[3]
+    for r in rows:
+        v = emb_np[int(r["vec_id"])]
+        exp = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert abs(r["sim"] - exp) < 1e-9
+
+
+def test_lsh_recall_reasonable(emb, emb_np):
+    """Recall check at parameters suited to this corpus: the synthetic
+    embeddings are near-random (top-10 cosine ≈ 0.3-0.4), so true neighbors
+    sit ~2 bits away in sketch space — 4 bits + 2-probe must recover most
+    of the true top-10 while still pruning half the corpus."""
+    exp = set(_np_topk(emb_np, 0, 10))
+    got = {
+        r["vec_id"]
+        for r in cosine_topk_lsh(
+            emb, query_vec_id=0, k=10, bits=4, probe_hamming=2
+        ).collect()
+    }
+    assert len(got & exp) >= 5, f"recall too low: {len(got & exp)}/10"
+
+
+def test_cosine_expression_self_similarity(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [[1.0, 2.0, 3.0]], "w": [[1.0, 2.0, 3.0]]})
+    )
+    sim = df.select(cosine(F.col("v"), F.col("w")).alias("s")).collect()[0]["s"]
+    assert abs(sim - 1.0) < 1e-12
