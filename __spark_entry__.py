@@ -32,7 +32,20 @@ from logpipe_spark.operators.dedup import (
     simhash_buckets,
 )
 from logpipe_spark.operators.similarity import cosine_topk
-from logpipe_spark.operators.textstats import lang_quality_stats, token_stats
+from logpipe_spark.operators.textstats import (
+    LANG_MARKERS,
+    lang_id,
+    lang_quality_stats,
+    quality_score,
+    token_stats,
+)
+from logpipe_spark.functions.text import (
+    filename_key_cut,
+    pack_metadata,
+    template_nsub,
+    tokenize,
+    unpack_metadata,
+)
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -203,16 +216,92 @@ def q_tokenize_fields(spark, sf_dir):
 
 def q_template_project(spark, sf_dir):
     """§2.4 `$N` template instantiation ($0=routing key, $1..$N=fields;
-    logpipe-output-es.c:464-517)."""
+    logpipe-output-es.c:464-517) via functions.text.template_nsub."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    rendered = template_nsub(
+        "src=$0 f1=$1 f2=$2", F.col("source"), tokenize(F.col("text"))
+    )
+    return docs.select("doc_id", rendered.alias("rendered"))
+
+
+def q_pack_unpack(spark, sf_dir):
+    """§2.2 metadata pack/unpack roundtrip: build the reference's bracket
+    header, parse it back, expose both (oracle recomputes the header and
+    passes through the original fields — any unpack bug diverges)."""
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_metadata(
+        F.col("source"), F.col("lang"),
+        F.concat(F.lit("doc"), F.col("doc_id")),
+        F.col("n_chars"), F.col("doc_id"),
+    )
+    u = unpack_metadata(F.col("packed"))
+    return (
+        docs.select("doc_id", packed.alias("packed"))
+        .select(
+            "doc_id", "packed",
+            u["system"].alias("u_system"),
+            u["offset"].alias("u_offset"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """§2.5 set ops: big-ticket buyers who never had a big error (EXCEPT
+    with set semantics — subtract, not exceptAll: the multiset variant
+    leaves residual duplicate rows)."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 190)
+    ).select("user_id").distinct()
+    erring = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 190)
+    ).select("user_id").distinct()
+    return buyers.subtract(erring)
+
+
+def q_orderby_limit(spark, sf_dir):
+    """§2.5 global sort + limit: 10 priciest orders (TopK physical plan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+
+
+def q_date_rollup(spark, sf_dir):
+    """HDFS day-dir rollup analogue (`logpipe-output-hdfs.c:195-213`):
+    per-day event counts — at scale this is the partition column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyyMMdd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_key_cut(spark, sf_dir):
+    """ingeek filename-key cut (`logpipe-output-ingeek.c:448-494`): derive
+    routing key = first 2 '_'-words of the stem, group by it."""
+    docs = _t(spark, sf_dir, "documents")
+    fake_name = F.concat(F.col("source"), F.lit("_"), F.col("lang"),
+                         F.lit("_x.log"))
+    return docs.select(
+        filename_key_cut(fake_name, 2).alias("route_key")
+    ).groupBy("route_key").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_langid_quality(spark, sf_dir):
+    """Text-analysis pass: heuristic lang + integer quality per doc."""
+    docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.concat(
-            F.lit("src="), F.col("source"),
-            F.lit(" f1="), F.element_at(toks, 1),
-            F.lit(" f2="), F.element_at(toks, 2),
-        ).alias("rendered"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).cast("int").alias("quality"),
     )
 
 
@@ -286,7 +375,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
+        "template_nsub": q_template_project,
+        "pack_unpack": q_pack_unpack,
+        "set_ops": q_set_ops,
+        "orderby_limit": q_orderby_limit,
+        "date_rollup": q_date_rollup,
+        "key_cut": q_key_cut,
+        "langid_quality": q_langid_quality,
     }
+
+
+def _langid_quality_sql() -> str:
+    """DuckDB equivalent of textstats.lang_id + quality_score, generated
+    from the same LANG_MARKERS the Spark expressions use."""
+    toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    counts = {
+        lang: f"len(list_filter({toks}, x -> list_contains({m!r}, x)))"
+        for lang, m in ((k, list(v)) for k, v in LANG_MARKERS.items())
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang, expr in counts.items():
+        case += f"WHEN {expr} = {best} THEN '{lang}' "
+    case += "END"
+    ntok = f"len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    punct = "length(regexp_replace(text, '[\\w\\s]', '', 'g'))"
+    quality = (
+        f"(CASE WHEN length(text) BETWEEN 40 AND 100000 THEN 40 ELSE 0 END"
+        f" + CASE WHEN CAST({punct} AS DOUBLE) / greatest(length(text), 1) < 0.3"
+        f"        THEN 20 ELSE 0 END"
+        f" + CASE WHEN len(list_filter({toks},"
+        f"        x -> list_contains(['the','and','of'], x))) > 0 THEN 20 ELSE 0 END"
+        f" + CASE WHEN {ntok} >= 5 THEN 20 ELSE 0 END)"
+    )
+    return (
+        f"SELECT doc_id, {case} AS lang_guess, CAST({quality} AS INT) AS quality "
+        "FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -424,6 +549,44 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM documents
         """,
+        "template_nsub": """
+            SELECT doc_id,
+                   'src=' || source || ' f1=' || string_split(text, ' ')[1]
+                          || ' f2=' || string_split(text, ' ')[2] AS rendered
+            FROM documents
+        """,
+        "pack_unpack": """
+            SELECT doc_id,
+                   '[[system=' || source || '][server=' || lang
+                   || '][filename=doc' || doc_id || '][offset=' || n_chars
+                   || '][line=' || doc_id || ']]' AS packed,
+                   source AS u_system,
+                   CAST(n_chars AS BIGINT) AS u_offset
+            FROM documents
+        """,
+        "set_ops": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 190
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 190
+        """,
+        "orderby_limit": """
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "date_rollup": """
+            SELECT strftime(ts, '%Y%m%d') AS day,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1
+        """,
+        "key_cut": """
+            SELECT source || '_' || lang AS route_key, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "langid_quality": _langid_quality_sql(),
         # dedup_ngram_jaccard / dedup_minhash / dedup_simhash: omitted —
         # hash-mixing / banding not expressible in portable SQL; the driver
         # records the weaker rows-only check, and tests/test_dedup.py holds

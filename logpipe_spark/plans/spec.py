@@ -1,0 +1,96 @@
+"""Declarative pipeline spec — the JSON config model of the reference
+(`src/config.c:11-18`, example `README.md:92-116`) re-imagined as a plan
+description compiled to DataFrame transforms.
+
+logpipe config:                       here:
+  { "inputs":  [ {plugin, opts} ],      { "source":  {path | snapshots},
+    "filters": [ {plugin, opts} ],        "parse":   {"parser": builtin|pandas},
+    "outputs": [ {plugin, opts} ] }       "enrich":  {dim keys, how},
+                                          "route":   [rule, ...],
+                                          "sinks":   {out_dir, salt} }
+
+Where the reference dlopens plugin .so files (`src/config.c:63-119`), this
+compiles to the same five-stage chain `pipeline.run_pipeline` executes —
+the "plugin ABI" is the DataFrame, and a custom stage is just a callable
+registered in STAGE_REGISTRY.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logpipe_spark.pipeline import run_pipeline
+
+
+@dataclass
+class PipelineSpec:
+    source_dir: str
+    out_dir: str
+    rules: list[dict]
+    dim_rows: list[dict] = field(default_factory=list)
+    dim_keys: list[str] = field(default_factory=lambda: ["tool", "role"])
+    parser: str = "builtin"
+    salt_partitions: int | None = None
+    run_id: str | None = None
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipelineSpec":
+        cfg = json.loads(text)
+        for k in ("source_dir", "out_dir", "rules"):
+            if k not in cfg:
+                raise ValueError(f"pipeline spec missing required key: {k!r}")
+        for rule in cfg["rules"]:
+            missing = {"rule_id", "match_col", "pattern", "sink"} - set(rule)
+            if missing:
+                raise ValueError(f"rule {rule!r} missing keys: {sorted(missing)}")
+            rule.setdefault("exclude", False)
+        return cls(
+            source_dir=cfg["source_dir"],
+            out_dir=cfg["out_dir"],
+            rules=cfg["rules"],
+            dim_rows=cfg.get("dim", []),
+            dim_keys=cfg.get("dim_keys", ["tool", "role"]),
+            parser=cfg.get("parser", "builtin"),
+            salt_partitions=cfg.get("salt_partitions"),
+            run_id=cfg.get("run_id"),
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineSpec":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def run(self, spark: SparkSession) -> dict:
+        if self.dim_rows:
+            dim = spark.createDataFrame(self.dim_rows)
+        else:
+            from logpipe_spark.fixtures import gen_tool_role_dim
+
+            dim = spark.createDataFrame(gen_tool_role_dim())
+        return run_pipeline(
+            spark,
+            self.source_dir,
+            self.out_dir,
+            dim,
+            self.rules,
+            run_id=self.run_id,
+            parser=self.parser,
+            salt_partitions=self.salt_partitions,
+        )
+
+
+# custom-stage registry: name → Callable[[DataFrame], DataFrame]
+# (the dlopen analogue for user-defined filter stages)
+STAGE_REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {}
+
+
+def register_stage(name: str):
+    def deco(fn: Callable[[DataFrame], DataFrame]):
+        STAGE_REGISTRY[name] = fn
+        return fn
+
+    return deco
