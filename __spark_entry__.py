@@ -305,6 +305,41 @@ def q_langid_quality(spark, sf_dir):
     )
 
 
+def q_pivot(spark, sf_dir):
+    """§2.5 pivot: per-user event counts by type as columns."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_rollup(spark, sf_dir):
+    """§2.5 rollup / grouping sets: order totals by (status, priority) with
+    subtotals and a grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+def q_parse_extract_pandas(spark, sf_dir):
+    """The Arrow-batched grok plugin path (make_grok_udf), oracle-checked
+    against the same regex the JVM path uses."""
+    from logpipe_spark.operators.parse import make_grok_udf
+
+    ev = _t(spark, sf_dir, "events")
+    grok = make_grok_udf({"k_str": r'"k": (\d+)'})
+    return ev.select(
+        "event_id",
+        grok(F.col("props"))["k_str"].cast("int").alias("k_val"),
+    )
+
+
 def q_doc_route(spark, sf_dir):
     """Glob + grep routing over documents (lang/source/exclude rules)."""
     docs = _t(spark, sf_dir, "documents")
@@ -329,11 +364,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    # single-file input + heavy per-row compute: spread the rows first
+    # (a 1.5 MB shuffle buys 32-way parallelism on the hash folds)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs.repartition(spark.sparkContext.defaultParallelism))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return simhash_buckets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_buckets(docs.repartition(spark.sparkContext.defaultParallelism))
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -382,6 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_rollup": q_date_rollup,
         "key_cut": q_key_cut,
         "langid_quality": q_langid_quality,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "parse_extract_pandas": q_parse_extract_pandas,
     }
 
 
@@ -587,7 +629,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "langid_quality": _langid_quality_sql(),
-        # dedup_ngram_jaccard / dedup_minhash / dedup_simhash: omitted —
+        "pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY user_id
+        """,
+        "rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "parse_extract_pandas": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_val
+            FROM events
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS s
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+        """,
+        # dedup_minhash / dedup_simhash: omitted —
         # hash-mixing / banding not expressible in portable SQL; the driver
         # records the weaker rows-only check, and tests/test_dedup.py holds
         # the strong property-based checks.

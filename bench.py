@@ -152,7 +152,14 @@ def main() -> None:
     timings["pipeline_parse_route"] = round(pipeline_sec, 4)
     turns_per_sec = n_turns / pipeline_sec
 
-    # operator queries on driver-provided parquet
+    # operator queries on driver-provided parquet. Forced with the noop
+    # sink: full computation, zero driver-side row serialization —
+    # collect() on per-row outputs times py4j pickling (6s for 5k array
+    # rows), not the operator; count() lets Catalyst prune the computed
+    # columns away entirely. Both are lies.
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
     bench_queries = [
         "parse_extract", "route_fanout", "enrich_broadcast", "agg_persink",
         "window_topk", "sessionize", "doc_route", "dedup_fingerprint",
@@ -161,9 +168,9 @@ def main() -> None:
     qs = entry_mod.queries()
     for name in bench_queries:
         fn = qs[name]
-        fn(spark, SF_DIR).collect()  # warmup
+        force(fn(spark, SF_DIR))  # warmup
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
+        force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     spark.stop()

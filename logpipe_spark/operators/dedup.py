@@ -41,12 +41,17 @@ def _tokens(text: Column) -> Column:
 
 
 def _shingles(text: Column, n: int) -> Column:
-    """Distinct n-gram token shingles as strings (JVM higher-order fns)."""
+    """Distinct n-gram token shingles as strings (JVM higher-order fns).
+    Guarded for short docs: Spark's sequence(1, 0) DESCENDS ([1, 0]), so an
+    unguarded index range would fabricate shingles for docs with < n tokens."""
     toks = _tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------
