@@ -305,6 +305,23 @@ def q_langid_quality(spark, sf_dir):
     )
 
 
+def q_es_bulk(spark, sf_dir):
+    """§2.3/§2.4 the reference's richest operator end-to-end: ES output's
+    grep → tokenize → $N template → /_bulk batching, as rendered payloads
+    (`logpipe-output-es.c:543-596,610-661,464-517`)."""
+    from logpipe_spark.operators.writers import render_es_bulk
+
+    docs = _t(spark, sf_dir, "documents")
+    return render_es_bulk(
+        docs,
+        doc_template='{"id":$0,"f1":"$1","f2":"$2"}',
+        key_col=F.col("doc_id").cast("string"),
+        grep="spark",
+        batch_rows=50,
+        order_col="doc_id",
+    )
+
+
 def q_pivot(spark, sf_dir):
     """§2.5 pivot: per-user event counts by type as columns."""
     ev = _t(spark, sf_dir, "events")
@@ -424,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "rollup": q_rollup,
         "parse_extract_pandas": q_parse_extract_pandas,
+        "es_bulk_render": q_es_bulk,
     }
 
 
@@ -673,6 +691,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+        """,
+        "es_bulk_render": """
+            WITH f AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents WHERE position('spark' IN text) > 0
+            ), r AS (
+              SELECT doc_id,
+                     '{"id":' || doc_id || ',"f1":"' || coalesce(toks[1], '')
+                       || '","f2":"' || coalesce(toks[2], '') || '"}' AS doc,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+              FROM f
+            )
+            SELECT CAST(FLOOR(rn / 50.0) AS BIGINT) AS batch_id,
+                   COUNT(*) AS n_docs,
+                   string_agg('{"index":{}}' || chr(10) || doc, chr(10)
+                              ORDER BY doc_id) || chr(10) AS payload
+            FROM r GROUP BY 1
         """,
         # dedup_minhash / dedup_simhash: omitted —
         # hash-mixing / banding not expressible in portable SQL; the driver

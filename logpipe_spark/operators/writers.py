@@ -1,0 +1,125 @@
+"""Sink writers — one per reference output plugin (SURVEY §2.3).
+
+Endpoints that exist in the sandbox (files) are fully functional; network
+sinks (Kafka/ES/TCP) are split into a *render/plan* half that is pure
+DataFrame code (tested) and a *transport* half behind builders or seams.
+
+| here | reference plugin |
+|---|---|
+| write_partitioned_by_key | logpipe-output-file merge-by-filename append (`logpipe-output-file.c:208-395`) |
+| write_date_partitioned | logpipe-output-hdfs day dirs (`logpipe-output-hdfs.c:195-213,270-296`) |
+| render_es_bulk | logpipe-output-es: grep → translate → tokenize → `$N` template → 4 MB `/_bulk` batching (`logpipe-output-es.c:543-596,610-661,464-517`) |
+| kafka_sink_writer | logpipe-output-kafka produce (`logpipe-output-kafka.c:259,298`) |
+| console_sink | logpipe-output-stdout (`logpipe-output-stdout.c:31-38`) |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from logpipe_spark.functions.text import template_nsub, tokenize, translate_charset
+
+
+def write_partitioned_by_key(
+    df: DataFrame, path: str, key_col: str = "conv_id", mode: str = "append"
+) -> None:
+    """Merge-by-key file sink: all rows of a key land under one partition
+    dir (the reference's append-to-same-filename semantics; ordering is by
+    (conv_id, turn_idx) at read time, not arrival time)."""
+    df.write.mode(mode).partitionBy(key_col).parquet(path)
+
+
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", fmt: str = "yyyyMMdd",
+    mode: str = "append",
+) -> None:
+    """HDFS day-dir layout: partition column = date_format(ts). Midnight
+    rollover (`logpipe-output-hdfs.c:270-296`) is free — it's just a new
+    partition value."""
+    (
+        df.withColumn("day", F.date_format(F.col(ts_col), fmt))
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def render_es_bulk(
+    df: DataFrame,
+    doc_template: str,
+    key_col: Column,
+    text_col: str = "text",
+    grep: str | None = None,
+    translate: str | None = None,
+    min_fields: int | None = None,
+    batch_rows: int = 500,
+    order_col: str | None = None,
+) -> DataFrame:
+    """The full ES-output transform chain, producing `/_bulk` POST bodies.
+
+    Mirrors `logpipe-output-es.c` stage for stage:
+      grep substring filter (:610-617) → charset translate (:620-626) →
+      tokenize (:628-661) → `$N` template instantiation (:464-517) →
+      fields_strictly (:663-668) → bulk batching with `{"index":{}}`
+      interleave (:543-596).
+
+    Returns (batch_id, n_docs, payload). Batching here is row-count based
+    (the reference uses a 4 MB byte buffer); at scale batch boundaries are
+    per-partition so no global sort is needed — this helper uses an
+    explicit order column to stay deterministic for the oracle."""
+    t = F.col(text_col)
+    if grep is not None:
+        df = df.filter(t.contains(grep))
+    line = translate_charset(t, translate) if translate else t
+    fields = tokenize(line)
+    if min_fields is not None:
+        df = df.filter(F.size(fields) >= min_fields)
+    rendered = template_nsub(doc_template, key_col, fields)
+    order = F.col(order_col) if order_col else key_col
+    w = Window.orderBy(order)
+    batched = df.select(
+        rendered.alias("_doc"),
+        ((F.row_number().over(w) - 1) / batch_rows).cast("long").alias("batch_id"),
+        order.alias("_ord"),
+    )
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("_ord"), F.col("_doc")))
+                        ),
+                        lambda s: F.concat(F.lit('{"index":{}}\n'), s["_doc"]),
+                    ),
+                    "\n",
+                ),
+                F.lit("\n"),
+            ).alias("payload"),
+        )
+    )
+
+
+def kafka_sink_writer(df: DataFrame, bootstrap_servers: str, topic: str,
+                      key_col: str | None = None, value_col: str = "value"):
+    """Kafka producer sink builder (built-in connector; needs a broker +
+    the kafka package at runtime). Unassigned partition like the reference
+    (`logpipe-output-kafka.c:259`) unless a key column is given."""
+    out = df.select(
+        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return (
+        out.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+
+
+def console_sink(df: DataFrame, n: int = 20) -> None:
+    """stdout sink (`logpipe-output-stdout.c:31-38`)."""
+    df.show(n=n, truncate=False)

@@ -1,0 +1,75 @@
+"""Sink writers: partitioned layouts on disk + ES bulk rendering."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.writers import (
+    render_es_bulk,
+    write_date_partitioned,
+    write_partitioned_by_key,
+)
+
+
+def test_write_partitioned_by_key(spark, transcripts_df, tmp_path):
+    out = str(tmp_path / "bykey")
+    small = transcripts_df.filter(F.col("conv_id").isin("conv00000000", "conv00000001"))
+    write_partitioned_by_key(small, out)
+    dirs = {d for d in os.listdir(out) if d.startswith("conv_id=")}
+    assert dirs == {"conv_id=conv00000000", "conv_id=conv00000001"}
+    back = spark.read.parquet(out)
+    assert back.count() == small.count()
+
+
+def test_write_date_partitioned(spark, transcripts_df, tmp_path):
+    out = str(tmp_path / "byday")
+    write_date_partitioned(transcripts_df, out)
+    days = sorted(d for d in os.listdir(out) if d.startswith("day="))
+    assert days and all(len(d) == len("day=20260101") for d in days)
+    assert days[0] == "day=20260101"
+    back = spark.read.parquet(out)
+    assert back.count() == transcripts_df.count()
+    # appending again doubles rows, never rewrites (merge-by-append contract)
+    write_date_partitioned(transcripts_df, out)
+    assert spark.read.parquet(out).count() == 2 * transcripts_df.count()
+
+
+def test_render_es_bulk_shape(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(7),
+                "text": [f"spark word{i} tail" if i % 2 == 0 else f"plain word{i}" for i in range(7)],
+            }
+        )
+    )
+    out = render_es_bulk(
+        docs,
+        doc_template='{"id":$0,"w":"$2"}',
+        key_col=F.col("doc_id").cast("string"),
+        grep="spark",
+        batch_rows=2,
+        order_col="doc_id",
+    ).orderBy("batch_id").collect()
+    # docs 0,2,4,6 match grep → batches of 2 → 2 batches
+    assert [r["n_docs"] for r in out] == [2, 2]
+    first = out[0]["payload"]
+    assert first.startswith('{"index":{}}\n{"id":0,"w":"word0"}\n')
+    assert first.endswith("\n")
+    assert first.count('{"index":{}}') == 2
+
+
+def test_render_es_bulk_min_fields(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["spark a b c", "spark"]})
+    )
+    out = render_es_bulk(
+        docs, '{"id":$0}', F.col("doc_id").cast("string"),
+        grep="spark", min_fields=3, order_col="doc_id",
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == 1
