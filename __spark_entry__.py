@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logpipe_spark.globs import glob_to_regex
+from logpipe_spark.globs import glob_to_regex_java
 from logpipe_spark.operators.enrich import enrich
 from logpipe_spark.operators.parse import n_fields_col
 from logpipe_spark.operators.route import route
@@ -76,7 +76,7 @@ def rules_to_sql_case(rules: list[dict]) -> str:
     rendered as a DuckDB CASE expression."""
     parts = []
     for r in sorted(rules, key=lambda x: x["rule_id"]):
-        rx = glob_to_regex(r["pattern"]).replace("'", "''")
+        rx = glob_to_regex_java(r["pattern"]).replace("'", "''")
         tgt = "NULL" if (r["exclude"] or r["sink"] == "DROP") else f"'{r['sink']}'"
         parts.append(f"WHEN regexp_matches({r['match_col']}, '{rx}') THEN {tgt}")
     return "CASE " + " ".join(parts) + " ELSE NULL END"

@@ -21,12 +21,9 @@ from __future__ import annotations
 
 import re
 
-_SPECIAL = re.escape("\\^$.|?*+()[]{}")
 
-
-def glob_to_regex(pattern: str) -> str:
-    """Compile a `*`/`?` glob to an anchored regex string."""
-    out = ["^"]
+def _glob_body(pattern: str) -> str:
+    out = []
     for ch in pattern:
         if ch == "*":
             out.append(".*")
@@ -34,8 +31,24 @@ def glob_to_regex(pattern: str) -> str:
             out.append(".")
         else:
             out.append(re.escape(ch))
-    out.append("$")
     return "".join(out)
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Compile to a Python-dialect anchored regex.
+
+    The C matcher is byte-oriented: `*`/`?` happily cross newlines, and the
+    match must consume the WHOLE string. Plain `^.*$` gets neither right
+    (`.` stops at \\n; `$` also matches before a final newline), so: DOTALL
+    + absolute anchors. Python's absolute end anchor is ``\\Z``."""
+    return r"(?s)\A" + _glob_body(pattern) + r"\Z"
+
+
+def glob_to_regex_java(pattern: str) -> str:
+    """Same semantics for Java regex / RE2 (Spark ``rlike``, DuckDB
+    ``regexp_matches``): there the absolute end anchor is ``\\z``
+    (Java's ``\\Z`` stops before a final line terminator)."""
+    return r"(?s)\A" + _glob_body(pattern) + r"\z"
 
 
 def is_match(pattern: str, s: str) -> bool:

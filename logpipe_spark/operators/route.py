@@ -21,11 +21,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from logpipe_spark.globs import glob_to_regex
+from logpipe_spark.globs import glob_to_regex_java
 
 
 def _rule_predicate(rule: dict) -> Column:
-    return F.col(rule["match_col"]).rlike(glob_to_regex(rule["pattern"]))
+    """Compile one glob to the cheapest equivalent predicate. The common
+    shapes map to native string ops (faster than the regex engine and
+    pushdown-friendly); only globs with interior/`?` wildcards fall back to
+    an anchored rlike. Parity with the Python matcher is fuzz-tested
+    (tests/test_fuzz_parity.py)."""
+    col = F.col(rule["match_col"])
+    pat = rule["pattern"]
+    if "?" not in pat:
+        stars_at = [i for i, ch in enumerate(pat) if ch == "*"]
+        inner = pat.strip("*")
+        if not stars_at:
+            return col == F.lit(pat)                      # pure literal
+        if "*" not in inner:                              # stars only at edges
+            if pat == "*" * len(pat):
+                return col.isNotNull()                    # match-anything
+            if pat.startswith("*") and pat.endswith("*"):
+                return col.contains(inner)
+            if pat.endswith("*"):
+                return col.startswith(inner)
+            if pat.startswith("*"):
+                return col.endswith(inner)
+    return col.rlike(glob_to_regex_java(pat))
 
 
 def compile_rules(rules: list[dict]) -> Column:

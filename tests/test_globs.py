@@ -35,3 +35,13 @@ def test_regex_compiles():
 
     for pat in ["*.log", "a?.log", "[[sys*", "a+b(c)|d"]:
         re.compile(glob_to_regex(pat))
+
+
+def test_newline_byte_semantics():
+    """The C matcher is byte-oriented: wildcards cross newlines and the
+    match must consume the absolute end (no $-before-final-\\n quirk)."""
+    assert is_match("*", "a\nb")
+    assert is_match("a*b", "a\nb")
+    assert is_match("?", "\n")
+    assert not is_match("*a", "xa\n")   # trailing newline is a real byte
+    assert is_match("*a*", "xa\n")
