@@ -322,6 +322,42 @@ def q_es_bulk(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator, operators/asof.py): each event joined
+    to the user's most recent order at-or-before the event timestamp.
+    Output is tie-safe (matched order DATE, not an arbitrary order id)."""
+    from logpipe_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    joined = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_payload=["o_orderdate"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("matched_date"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (custom operator): event value → band, per-band rollup."""
+    from logpipe_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 10_000.0, "high")],
+        "lo double, hi double, label string",
+    )
+    return range_join(ev, bands, "value").groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
 def q_pivot(spark, sf_dir):
     """§2.5 pivot: per-user event counts by type as columns."""
     ev = _t(spark, sf_dir, "events")
@@ -442,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "parse_extract_pandas": q_parse_extract_pandas,
         "es_bulk_render": q_es_bulk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -647,6 +685,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "langid_quality": _langid_quality_sql(),
+        "asof_join": """
+            SELECT e.event_id, e.user_id,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS matched_date
+            FROM events e
+            ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "range_join": """
+            WITH bands(lo, hi, label) AS (
+              VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                     (150.0, 10000.0, 'high')
+            )
+            SELECT label, COUNT(*) AS n_events,
+                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY label
+        """,
         "pivot": """
             SELECT user_id,
                    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
