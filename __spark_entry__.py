@@ -358,6 +358,16 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """§2.5 exact percentile aggregate (linear interpolation — bitwise
+    equal to DuckDB's quantile_cont on identical input)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+
+
 def q_pivot(spark, sf_dir):
     """§2.5 pivot: per-user event counts by type as columns."""
     ev = _t(spark, sf_dir, "events")
@@ -480,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bulk_render": q_es_bulk,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "percentiles": q_percentiles,
     }
 
 
@@ -685,6 +696,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "langid_quality": _langid_quality_sql(),
+        "percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY event_type
+        """,
         "asof_join": """
             SELECT e.event_id, e.user_id,
                    strftime(o.o_orderdate, '%Y-%m-%d') AS matched_date

@@ -158,6 +158,25 @@ def main() -> None:
     timings["pipeline_parse_route"] = round(pipeline_sec, 4)
     turns_per_sec = n_turns / pipeline_sec
 
+    # write path: full fan-out (parse → enrich → route → partitioned sinks
+    # + lineage) over the seed table, measured end to end including commit
+    import shutil
+
+    from logpipe_spark.fixtures import default_route_rules, gen_tool_role_dim
+    from logpipe_spark.pipeline import run_pipeline
+    from logpipe_spark.ledger import write_snapshots
+    import pandas as pd
+
+    wsrc = os.path.join(CACHE, f"write_src_{seed_turns}")
+    if not os.path.isdir(wsrc):
+        write_snapshots(pd.read_parquet(seed_path), wsrc, n_snapshots=4)
+    wout = os.path.join(CACHE, "write_out")
+    shutil.rmtree(wout, ignore_errors=True)
+    dim = spark.createDataFrame(gen_tool_role_dim())
+    t0 = time.perf_counter()
+    run_pipeline(spark, wsrc, wout, dim, default_route_rules(), salt_partitions=CPUS)
+    timings["pipeline_fanout_write"] = round(time.perf_counter() - t0, 4)
+
     # operator queries on driver-provided parquet. Forced with the noop
     # sink: full computation, zero driver-side row serialization —
     # collect() on per-row outputs times py4j pickling (6s for 5k array
