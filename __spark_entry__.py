@@ -442,6 +442,15 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs path (the LSH-
+    bucketed scale path is rows-only-tested; same scoring expression)."""
+    from logpipe_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4, bits=None).select("id_a", "id_b")
+
+
 def q_text_quality(spark, sf_dir):
     return lang_quality_stats(_t(spark, sf_dir, "documents"))
 
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "percentiles": q_percentiles,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -696,6 +706,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "langid_quality": _langid_quality_sql(),
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
         "percentiles": """
             SELECT event_type,
                    quantile_cont(value, 0.5) AS p50,

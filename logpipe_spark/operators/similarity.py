@@ -94,6 +94,87 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_build(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means cells over the corpus (pyspark.ml,
+    seeded → deterministic). Returns (assigned_df with a `cell` column,
+    centers as a python list). At 100 TB the assigned table is written
+    partitioned by `cell`, so a query scans nprobe/n_cells of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).drop("_v")
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query against an IVF index: rank cells by centroid distance
+    (driver-side, |centers| is tiny), scan only the nprobe nearest cells,
+    brute-force cosine within them."""
+    import math
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    probe = sorted(range(len(centers)), key=lambda c: dist(centers[c], query_vec))[:nprobe]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(id_col, cosine(F.col(vec_col), qcol).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup mode): candidate pairs
+    via matching LSH hyperplane buckets (``bits=None`` → exact all-pairs,
+    the small-corpus/oracle path), then exact cosine ≥ threshold. At scale
+    the bucket join bounds the quadratic term to within-bucket pairs."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if bits:
+        planes = _hyperplanes(dim, bits)
+        base = base.withColumn("_b", lsh_bucket_col(F.col("v"), planes))
+        a = base.alias("a")
+        b = base.alias("b")
+        cand = a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a.id") < F.col("b.id")))
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        cand = a.join(b, F.col("a.id") < F.col("b.id"))
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_vec_id: int,

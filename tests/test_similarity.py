@@ -72,3 +72,63 @@ def test_cosine_expression_self_similarity(spark):
     )
     sim = df.select(cosine(F.col("v"), F.col("w")).alias("s")).collect()[0]["s"]
     assert abs(sim - 1.0) < 1e-12
+
+
+def test_ivf_topk_recall(emb, emb_np):
+    from logpipe_spark.operators.similarity import ivf_build, ivf_topk
+
+    assigned, centers = ivf_build(emb, n_cells=16)
+    q = emb_np[0].tolist()
+    exp = set(_np_topk(emb_np, 0, 10))
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(assigned, centers, q, k=11, nprobe=8).collect()
+        if r["vec_id"] != 0
+    }
+    # near-random embeddings: probing half the cells must recover most of top-10
+    assert len(got & exp) >= 5, f"IVF recall {len(got & exp)}/10"
+
+
+def test_ivf_deterministic(emb):
+    from logpipe_spark.operators.similarity import ivf_build
+
+    _, c1 = ivf_build(emb, n_cells=8)
+    _, c2 = ivf_build(emb, n_cells=8)
+    assert c1 == c2
+
+
+def test_embedding_neardup_exact_vs_numpy(emb, emb_np):
+    import numpy as np
+
+    from logpipe_spark.operators.similarity import embedding_neardup_pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4, bits=None).collect()
+    }
+    ids = sorted(emb_np)
+    E = np.stack([emb_np[i] for i in ids])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    exp = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.4
+    }
+    assert got == exp
+
+
+def test_embedding_neardup_lsh_subset(emb):
+    from logpipe_spark.operators.similarity import embedding_neardup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4, bits=None).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4, bits=4).collect()
+    }
+    assert lsh <= exact  # candidates are pruned, never invented
+    assert len(lsh) > 0
