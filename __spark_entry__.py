@@ -224,6 +224,17 @@ def q_template_project(spark, sf_dir):
     return docs.select("doc_id", rendered.alias("rendered"))
 
 
+def q_template_missing(spark, sf_dir):
+    """`$N` template where $N may exceed the field count — missing fields
+    substitute as empty, never error (logpipe-output-es.c:464-517 pads the
+    same way)."""
+    docs = _t(spark, sf_dir, "documents")
+    rendered = template_nsub(
+        "k=$0 f5=$5 f60=$60!", F.col("source"), tokenize(F.col("text"))
+    )
+    return docs.select("doc_id", rendered.alias("rendered"))
+
+
 def q_pack_unpack(spark, sf_dir):
     """§2.2 metadata pack/unpack roundtrip: build the reference's bracket
     header, parse it back, expose both (oracle recomputes the header and
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grep_filter": q_grep_filter,
         "tokenize_fields": q_tokenize_fields,
         "template_project": q_template_project,
+        "template_missing_fields": q_template_missing,
         "doc_route": q_doc_route,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -486,7 +498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
-        "template_nsub": q_template_project,
         "pack_unpack": q_pack_unpack,
         "set_ops": q_set_ops,
         "orderby_limit": q_orderby_limit,
@@ -498,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract_pandas": q_parse_extract_pandas,
         "es_bulk_render": q_es_bulk,
         "asof_join": q_asof_join,
+        # NOTE: "template_nsub" intentionally removed — it duplicated
+        # template_project; template_missing_fields covers the other branch
         "range_join": q_range_join,
         "percentiles": q_percentiles,
         "embedding_neardup": q_embedding_neardup,
@@ -668,11 +681,15 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM documents
         """,
-        "template_nsub": """
+        "template_missing_fields": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
             SELECT doc_id,
-                   'src=' || source || ' f1=' || string_split(text, ' ')[1]
-                          || ' f2=' || string_split(text, ' ')[2] AS rendered
-            FROM documents
+                   'k=' || source || ' f5=' || coalesce(toks[5], '')
+                        || ' f60=' || coalesce(toks[60], '') || '!' AS rendered
+            FROM t
         """,
         "pack_unpack": """
             SELECT doc_id,

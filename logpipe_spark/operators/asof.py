@@ -44,15 +44,20 @@ def asof_join(
     """For each left row: the right row with the greatest ``right_ts`` ≤
     ``left_ts`` within the same key (backward as-of). ``right_payload``
     columns are appended; ``how='left'`` keeps unmatched probe rows."""
+    r_struct_type = (
+        "struct<_m:boolean,"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload)
+        + ">"
+    )
     l_tag = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_probe"),
         F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload) + ">"
-        ).alias("_r"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
+    # `_m` marks "this is a real state row": match detection must not look
+    # at payload values (a matched state row may legitimately carry NULLs)
     r_tag = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
@@ -60,7 +65,7 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_l"),
-        F.struct(*right_payload).alias("_r"),
+        F.struct(F.lit(True).alias("_m"), *right_payload).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     # state rows sort before probe rows at equal ts → '>=' semantics
@@ -70,10 +75,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn("_state", F.last("_r", ignorenulls=True).over(w))
-    out = matched.filter(F.col("_is_probe") == 1).select("_l.*", "_state.*")
+    out = matched.filter(F.col("_is_probe") == 1)
     if how == "inner":
-        out = out.filter(F.col(right_payload[0]).isNotNull())
-    return out
+        out = out.filter(F.col("_state._m"))
+    return out.select("_l.*", *[F.col(f"_state.{c}").alias(c) for c in right_payload])
 
 
 def range_join(

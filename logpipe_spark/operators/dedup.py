@@ -70,7 +70,6 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep one row per exact text (lowest key wins — deterministic)."""
-    w_min = F.min(key_col).over
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.md5(F.col(text_col)))
@@ -120,14 +119,16 @@ def ngram_jaccard_pairs(
         F.col(key_col).alias("doc"),
         F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh = sh.join(
         F.broadcast(freq.filter(F.col("df") > max_shingle_freq)),
         "shingle",
         "left_anti",
     )
+    # sizes AFTER the cap: Jaccard over the same universe intersections are
+    # counted in (sizes-before-cap would bias similarity downward whenever
+    # a stop-shingle is dropped)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -265,9 +266,11 @@ def _simhash64(tokens: list[str]) -> int:
 
 @pandas_udf(T.LongType())
 def _simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(
-        lambda t: _simhash64([w for w in t.lower().split(" ") if w])
-    ).astype("int64")
+    out = text.map(
+        lambda t: _simhash64([w for w in t.lower().split(" ") if w]),
+        na_action="ignore",  # NULL text → NULL sketch, don't crash the task
+    )
+    return pd.Series(pd.array(out, dtype="Int64"))
 
 
 def simhash_buckets(

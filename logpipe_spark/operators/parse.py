@@ -93,11 +93,15 @@ def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _parse_udf(text: pd.Series) -> pd.DataFrame:
     """Arrow-batched grok extraction: one pandas `.str.extract` per pattern
     per batch (vectorized over the batch; zero per-row Python calls from
-    Spark's side)."""
+    Spark's side). NULL text → all-NULL output (parity with the builtin
+    path, where every guard predicate evaluates to NULL)."""
     call = text.str.extract(CALL_PAT)
     err = text.str.extract(ERROR_PAT)
     meta = text.str.extract(META_PAT)
-    nf = text.str.split(" ").map(lambda xs: sum(1 for x in xs if x))
+    nf = text.map(
+        lambda t: None if t is None else sum(1 for x in t.split(" ") if x),
+        na_action="ignore",
+    )
     return pd.DataFrame(
         {
             "tool_called": call[0],
@@ -109,7 +113,7 @@ def _parse_udf(text: pd.Series) -> pd.DataFrame:
             "meta_server": meta[1],
             "meta_offset": pd.to_numeric(meta[2], errors="coerce").astype("Int64"),
             "meta_line": pd.to_numeric(meta[3], errors="coerce").astype("Int64"),
-            "n_fields": nf.astype("Int32"),
+            "n_fields": pd.array(nf, dtype="Int32"),
         }
     )
 

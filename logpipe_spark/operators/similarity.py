@@ -142,13 +142,23 @@ def ivf_topk(
     )
 
 
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    """Read the vector dimension from the data (one 1-row job). Hardcoding
+    a wrong dim would make zip_with pad with NULLs → NULL buckets → silent
+    empty results."""
+    row = emb.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dimension from column {vec_col!r}")
+    return int(row["d"])
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int | None = 8,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup mode): candidate pairs
     via matching LSH hyperplane buckets (``bits=None`` → exact all-pairs,
@@ -156,7 +166,7 @@ def embedding_neardup_pairs(
     the bucket join bounds the quadratic term to within-bucket pairs."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if bits:
-        planes = _hyperplanes(dim, bits)
+        planes = _hyperplanes(dim or _infer_dim(emb, vec_col), bits)
         base = base.withColumn("_b", lsh_bucket_col(F.col("v"), planes))
         a = base.alias("a")
         b = base.alias("b")
@@ -180,7 +190,7 @@ def cosine_topk_lsh(
     query_vec_id: int,
     k: int = 10,
     bits: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_hamming: int = 1,
@@ -189,7 +199,7 @@ def cosine_topk_lsh(
     within ``probe_hamming`` bits of the query's (multi-probe). At scale
     the bucket column is precomputed and the table partitioned by it, so a
     query prunes to a handful of partitions instead of a full scan."""
-    planes = _hyperplanes(dim, bits)
+    planes = _hyperplanes(dim or _infer_dim(emb, vec_col), bits)
     with_bucket = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
     q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_qv"), F.col("_bucket").alias("_qbucket")

@@ -71,6 +71,8 @@ def route_row(rules: list[dict], row: dict) -> str | None:
     `logpipe-input-file.c:593-739`). Returns sink name or None = dropped."""
     for rule in sorted(rules, key=lambda r: r["rule_id"]):
         value = row[rule["match_col"]]
+        if value is None:
+            continue  # NULL never matches (Spark predicates on NULL → false)
         if is_match(rule["pattern"], value):
             if rule["exclude"] or rule["sink"] == "DROP":
                 return None

@@ -37,12 +37,13 @@ def build_stage_chain(
     dim: DataFrame,
     rules: list[dict],
     parser: str = "builtin",
+    dim_keys: list[str] | None = None,
 ) -> DataFrame:
     """parse → enrich → route on an already-loaded transcript DataFrame.
     Returns the routed DataFrame (sink column nullable; NULL = dropped)."""
     parse = extract_pandas if parser == "pandas" else extract_builtin
     parsed = parse(df)
-    enriched = enrich(parsed, dim, keys=["tool", "role"], how="left")
+    enriched = enrich(parsed, dim, keys=dim_keys or ["tool", "role"], how="left")
     return route(enriched, rules)
 
 
@@ -56,6 +57,7 @@ def run_pipeline(
     parser: str = "builtin",
     salt_partitions: int | None = None,
     fail_after_write_snapshot: int | None = None,
+    dim_keys: list[str] | None = None,
 ) -> dict:
     """Process every pending snapshot under ``src_dir`` exactly once.
 
@@ -72,7 +74,7 @@ def run_pipeline(
 
     for snap in ledger.pending(src_dir):
         df = spark.read.parquet(os.path.join(src_dir, f"snapshot={snap}"))
-        routed = build_stage_chain(df, dim, rules, parser=parser)
+        routed = build_stage_chain(df, dim, rules, parser=parser, dim_keys=dim_keys)
         if salt_partitions:
             routed = repartition_salted(routed, salt_partitions)
 
@@ -122,6 +124,8 @@ def read_sinks(spark: SparkSession, out_dir: str) -> DataFrame:
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     ledger = SnapshotLedger(out_dir)
     committed = sorted(ledger.committed())
+    if not committed:
+        raise ValueError(f"no committed snapshots under {out_dir}")
     paths = [os.path.join(out_dir, "lineage", f"snapshot={s}") for s in committed]
     return spark.read.option(
         "basePath", os.path.join(out_dir, "lineage")

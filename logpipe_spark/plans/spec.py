@@ -80,6 +80,7 @@ class PipelineSpec:
             run_id=self.run_id,
             parser=self.parser,
             salt_partitions=self.salt_partitions,
+            dim_keys=self.dim_keys,
         )
 
 
