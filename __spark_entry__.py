@@ -560,19 +560,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT sink,
                    COUNT(*) AS n_rows,
                    COUNT(DISTINCT user_id) AS n_users,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM routed WHERE sink IS NOT NULL GROUP BY sink
         """,
         "route_dropped": f"""
             WITH routed AS (SELECT {ev_case} AS sink FROM events)
-            SELECT SUM(CASE WHEN sink IS NULL THEN 1 ELSE 0 END) AS dropped,
-                   SUM(CASE WHEN sink IS NOT NULL THEN 1 ELSE 0 END) AS routed
+            SELECT CAST(SUM(CASE WHEN sink IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+                   CAST(SUM(CASE WHEN sink IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS routed
             FROM routed
         """,
         "enrich_broadcast": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -584,8 +584,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_persink": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
                    COUNT(*) AS n_items
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
@@ -609,8 +609,8 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
                 SELECT user_id,
-                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
                 FROM g
             )
             SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
@@ -634,7 +634,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_route": f"""
             WITH routed AS (SELECT *, {doc_case} AS sink FROM documents)
-            SELECT sink, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+            SELECT sink, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
             FROM routed WHERE sink IS NOT NULL GROUP BY sink
         """,
         "dedup_exact": """
@@ -667,10 +667,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(n_chars) AS total_chars,
-                   SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-                       AS BIGINT)) AS total_tokens,
-                   SUM(CASE WHEN position('the' IN text) > 0 THEN 1 ELSE 0 END)
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS BIGINT)) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN position('the' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
                        AS docs_with_stopword
             FROM documents GROUP BY lang
         """,
@@ -715,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "date_rollup": """
             SELECT strftime(ts, '%Y%m%d') AS day,
                    COUNT(*) AS n_events,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1
         """,
         "key_cut": """
@@ -748,23 +748,23 @@ def oracle_sql() -> dict[str, str]:
                      (150.0, 10000.0, 'high')
             )
             SELECT label, COUNT(*) AS n_events,
-                   SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events JOIN bands ON value >= lo AND value < hi
             GROUP BY label
         """,
         "pivot": """
             SELECT user_id,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id
         """,
         "rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "parse_extract_pandas": """
