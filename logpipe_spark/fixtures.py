@@ -138,8 +138,9 @@ def gen_tool_role_dim() -> pd.DataFrame:
     always picks a broadcast hash join (north rule §2.5)."""
     rng = np.random.default_rng(SEED + 1)
     rows = []
-    for tool in list(KNOWN_TOOLS) + ["none"]:
-        for role in ROLES:
+    # plain python strs: numpy.str_ defeats Spark's non-Arrow type inference
+    for tool in [str(t) for t in KNOWN_TOOLS] + ["none"]:
+        for role in [str(r) for r in ROLES]:
             rows.append(
                 {
                     "tool": tool,
