@@ -401,6 +401,26 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    """§2.5 cube: all grouping-set combinations of (status, priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """§2.5 INTERSECT: users who both purchased big and errored big."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 190)
+    ).select("user_id").distinct()
+    erring = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 190)
+    ).select("user_id").distinct()
+    return buyers.intersect(erring)
+
+
 def q_parse_extract_pandas(spark, sf_dir):
     """The Arrow-batched grok plugin path (make_grok_udf), oracle-checked
     against the same regex the JVM path uses."""
@@ -514,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "percentiles": q_percentiles,
         "embedding_neardup": q_embedding_neardup,
+        "cube": q_cube,
+        "set_intersect": q_set_intersect,
     }
 
 
@@ -728,6 +750,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "cube": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "set_intersect": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 190
+            INTERSECT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 190
         """,
         "percentiles": """
             SELECT event_type,
