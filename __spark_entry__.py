@@ -401,6 +401,27 @@ def q_rollup(spark, sf_dir):
     )
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Shift-resistant document fingerprint (winnowing-lite): md5 over
+    head/tail windows + length + content hash."""
+    from logpipe_spark.operators.textstats import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish token-count upper bound (words + length pieces + punct)."""
+    from logpipe_spark.operators.textstats import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("bpe_tokens")
+    )
+
+
 def q_cube(spark, sf_dir):
     """§2.5 cube: all grouping-set combinations of (status, priority)."""
     orders = _t(spark, sf_dir, "orders")
@@ -536,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "cube": q_cube,
         "set_intersect": q_set_intersect,
+        "doc_fingerprint": q_doc_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
@@ -750,6 +773,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(substr(text, 1, 16) || '|'
+                       || substr(text, length(text) - 15, 16) || '|'
+                       || CAST(length(text) AS VARCHAR) || '|'
+                       || md5(text)) AS fingerprint
+            FROM documents
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                       list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''),
+                       w -> 1 + CAST(FLOOR((length(w) - 1) / 4.0) AS BIGINT)
+                              + length(regexp_replace(w, '[\\w]', '', 'g'))))
+                     AS BIGINT) AS bpe_tokens
+            FROM documents
         """,
         "cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
