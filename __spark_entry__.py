@@ -25,8 +25,12 @@ from logpipe_spark.operators.enrich import enrich
 from logpipe_spark.operators.parse import n_fields_col
 from logpipe_spark.operators.route import route
 from logpipe_spark.operators.dedup import (
+    MINHASH_PRIME,
     exact_dedup_stats,
     fingerprint_dedup,
+    minhash_coeffs,
+    minhash_digest,
+    minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_buckets,
@@ -479,10 +483,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (portable universal-hash mix), exposed as a
+    scalar digest: the full 32-component signature is value-checked via
+    md5 of its comma-joined decimals (array columns don't canonicalize)."""
     # single-file input + heavy per-row compute: spread the rows first
     # (a 1.5 MB shuffle buys 32-way parallelism on the hash folds)
     docs = _t(spark, sf_dir, "documents")
-    return minhash_signatures(docs.repartition(spark.sparkContext.defaultParallelism))
+    sigs = minhash_signatures(docs.repartition(spark.sparkContext.defaultParallelism))
+    return sigs.select("doc_id", minhash_digest(F.col("signature")).alias("sig_digest"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs — the *scale path* of MinHash dedup,
+    oracle-checked: the (band, band-slice) equi-join plan is exactly what
+    runs at 100 TB (uniform shuffle key, no cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        num_hashes=32,
+        bands=8,
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -535,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
@@ -560,6 +581,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_tokens": q_bpe_tokens,
     }
+
+
+def _minhash_sig_cte(num_hashes: int = 32) -> str:
+    """Shared DuckDB CTE chain computing per-doc MinHash signatures with
+    the SAME universal-hash constants the Spark operator uses
+    (operators/dedup.py:minhash_coeffs) — parity is structural."""
+    p = MINHASH_PRIME
+    a, b = minhash_coeffs(num_hashes)
+    mins = ",\n               ".join(
+        f"MIN(({a[i]} * h + {b[i]}) % {p}) AS s{i}" for i in range(num_hashes)
+    )
+    comps = ", ".join(f"coalesce(s{i}, {p})" for i in range(num_hashes))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+          FROM toks
+        ), hashed AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {p} AS h
+          FROM sh
+        ), sigagg AS (
+          SELECT doc_id,
+               {mins}
+          FROM hashed GROUP BY doc_id
+        ), sig AS (
+          SELECT d.doc_id, [{comps}] AS sig
+          FROM documents d LEFT JOIN sigagg USING (doc_id)
+        )
+    """
+
+
+def _minhash_sql(num_hashes: int = 32) -> str:
+    return (
+        _minhash_sig_cte(num_hashes)
+        + """
+        SELECT doc_id,
+               md5(array_to_string(sig, ',')) AS sig_digest
+        FROM sig
+        """
+    )
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    return (
+        _minhash_sig_cte(num_hashes)
+        + f"""
+        , banded AS (
+          SELECT doc_id, sig, b,
+                 sig[b * {rows} + 1 : b * {rows} + {rows}] AS bandkey
+          FROM sig, (SELECT unnest(range(0, {bands})) AS b)
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 x.sig AS sa, y.sig AS sb
+          FROM banded x JOIN banded y
+            ON x.b = y.b AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range(1, {num_hashes} + 1),
+                        i -> sa[i] = sb[i])) AS DOUBLE) / {num_hashes}.0
+                   AS est_jaccard
+        FROM cand
+        """
+    )
+
+
+def _simhash_sql(bucket_bits: int = 16) -> str:
+    """DuckDB mirror of operators/dedup._simhash64: per-token 64-bit hash =
+    first 8 bytes of md5 big-endian (== first 16 hex chars as UBIGINT),
+    per-bit majority vote over all tokens (duplicates included), signed
+    two's-complement int64 out, bucket = top ``bucket_bits`` bits."""
+    lo = 64 - bucket_bits
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+          FROM toks
+        ), bits AS (
+          SELECT doc_id, b,
+                 CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+          GROUP BY doc_id, b
+        ), vals AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN b < 63 THEN bit * (CAST(1 AS BIGINT) << b)
+                               ELSE 0 END)
+                    - SUM(CASE WHEN b = 63 THEN bit ELSE 0 END)
+                        * 9223372036854775807
+                    - SUM(CASE WHEN b = 63 THEN bit ELSE 0 END) AS BIGINT)
+                     AS simhash,
+                 CAST(SUM(CASE WHEN b >= {lo}
+                               THEN bit * (CAST(1 AS BIGINT) << (b - {lo}))
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(v.simhash, 0) END AS simhash,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(v.bucket, 0) END AS bucket
+        FROM documents d LEFT JOIN vals v USING (doc_id)
+    """
 
 
 def _langid_quality_sql() -> str:
@@ -597,7 +730,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "parse_extract": """
             SELECT event_id, event_type,
-                   CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_val
+                   TRY_CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+                       AS INT) AS k_val
             FROM events
         """,
         "route_fanout": f"""
@@ -672,10 +806,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "template_project": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
             SELECT doc_id,
-                   'src=' || source || ' f1=' || string_split(text, ' ')[1]
-                          || ' f2=' || string_split(text, ' ')[2] AS rendered
-            FROM documents
+                   'src=' || source || ' f1=' || coalesce(toks[1], '')
+                          || ' f2=' || coalesce(toks[2], '') AS rendered
+            FROM t
         """,
         "doc_route": f"""
             WITH routed AS (SELECT *, {doc_case} AS sink FROM documents)
@@ -776,10 +914,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id,
-                   md5(substr(text, 1, 16) || '|'
-                       || substr(text, length(text) - 15, 16) || '|'
-                       || CAST(length(text) AS VARCHAR) || '|'
-                       || md5(text)) AS fingerprint
+                   md5(concat_ws('|',
+                       substr(text, 1, 16),
+                       substr(text, greatest(length(text) - 15, 1), 16),
+                       CAST(length(text) AS VARCHAR),
+                       md5(text))) AS fingerprint
             FROM documents
         """,
         "bpe_tokens": """
@@ -842,7 +981,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parse_extract_pandas": """
             SELECT event_id,
-                   CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_val
+                   TRY_CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+                       AS INT) AS k_val
             FROM events
         """,
         "dedup_ngram_jaccard": """
@@ -850,11 +990,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
               FROM documents
-            ), sh AS (
+            ), sh0 AS (
               SELECT doc_id, unnest(list_distinct(list_transform(
                        range(1, greatest(len(t) - 2, 0) + 1),
                        i -> array_to_string(t[i:i+2], ' ')))) AS s
               FROM toks
+            ), sh AS (
+              -- mirror the Spark operator's hot-shingle cap
+              -- (max_shingle_freq=1000): stop-shingles leave BOTH the
+              -- intersection counts and the per-doc sizes
+              SELECT sh0.* FROM sh0
+              JOIN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000) ok
+                USING (s)
             ), sizes AS (
               SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
             ), inter AS (
@@ -888,8 +1035,7 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY doc_id) || chr(10) AS payload
             FROM r GROUP BY 1
         """,
-        # dedup_minhash / dedup_simhash: omitted —
-        # hash-mixing / banding not expressible in portable SQL; the driver
-        # records the weaker rows-only check, and tests/test_dedup.py holds
-        # the strong property-based checks.
+        "dedup_minhash": _minhash_sql(32),
+        "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
+        "dedup_simhash": _simhash_sql(16),
     }

@@ -13,9 +13,13 @@ Scale design:
   join) — explode to (shingle, doc), self-join per shingle, count
   intersections, compute Jaccard from |A|, |B|, |A∩B|. Shingle-frequency
   cap drops stop-shingles that would quadratically blow up a hot key.
-- MinHash + LSH: per-doc signature via min over k seeded 64-bit hashes
-  (xxhash64, JVM-side), banded into b buckets; candidate pairs only where a
-  band collides. Classic MMDS construction; all built-in exprs, no UDF.
+- MinHash + LSH: per-doc signature sig[i] = min over shingles of the
+  universal hash (a_i·h + b_i) mod p, where h is a 60-bit base hash of the
+  shingle (md5 hex prefix — bit-identical in Spark and DuckDB, so the
+  signatures are value-checkable by the SQL oracle) and p = 2^31-1. One
+  base hash per shingle, k cheap integer mixes; banded into b buckets;
+  candidate pairs only where a band collides. Classic MMDS construction;
+  all built-in exprs, no UDF.
 - SimHash: 64-bit majority-vote sketch via an Arrow-batched pandas UDF
   (bit-twiddling is the one thing DataFrame exprs express poorly) —
   the documented "custom sketch" escape hatch.
@@ -155,6 +159,30 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1: a_i·h + b_i stays < 2^62, no overflow
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, derived from
+    md5 of a fixed tag — reproducible anywhere (the SQL oracle embeds the
+    same constants). a_i ∈ [1, p-1], b_i ∈ [0, p-1]."""
+    p = MINHASH_PRIME
+
+    def _c(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+    a = [(_c(f"minhash-a-{i}") % (p - 1)) + 1 for i in range(num_hashes)]
+    b = [_c(f"minhash-b-{i}") % p for i in range(num_hashes)]
+    return a, b
+
+
+def base_hash60(s: Column) -> Column:
+    """60-bit integer base hash of a string: first 15 hex chars of md5.
+    Chosen over xxhash64 because it is engine-portable bit for bit
+    (DuckDB: CAST('0x' || substr(md5(s),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -163,25 +191,40 @@ def minhash_signatures(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    xxhash64(shingle, i). One fold over the shingle array computing all k
-    mins at once (aggregate + zip_with) — a single expression per row, no
-    explode, no shuffle, and no k-fold re-derivation of the shingles (a
-    naive per-hash transform makes Catalyst inline the shingle expression
-    k times and codegen collapses)."""
-    max_long = F.lit(9223372036854775807).cast("long")
+    (a_i·h(shingle) + b_i) mod p. One fold over the shingle array computing
+    all k mins at once (aggregate + zip_with) — a single expression per
+    row, no explode, no shuffle, one md5 per shingle (the k mixes are
+    integer multiply-adds). Docs with < n tokens get the identity
+    signature [p, p, ...] (p is above every hash value)."""
+    p = F.lit(MINHASH_PRIME).cast("long")
+    a, b = minhash_coeffs(num_hashes)
+    a_lit = F.array(*[F.lit(x).cast("long") for x in a])
+    b_lit = F.array(*[F.lit(x).cast("long") for x in b])
+    idx = F.sequence(F.lit(1), F.lit(num_hashes))
     sig = F.aggregate(
         _shingles(F.col(text_col), n),
-        F.array_repeat(max_long, num_hashes),
+        F.array_repeat(p, num_hashes),
         lambda acc, s: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(s, i),
+                idx,
+                lambda i: (
+                    F.element_at(a_lit, i) * (base_hash60(s) % p)
+                    + F.element_at(b_lit, i)
+                )
+                % p,
             ),
-            lambda a, h: F.least(a, h),
+            lambda cur, h: F.least(cur, h),
         ),
     )
     return docs.select(F.col(key_col), sig.alias("signature"))
+
+
+def minhash_digest(sig: Column) -> Column:
+    """Scalar digest of a signature array (md5 of the comma-joined decimal
+    components) — the contract-facing column: drivers/oracles compare one
+    string instead of an array<long>."""
+    return F.md5(F.concat_ws(",", F.transform(sig, lambda x: x.cast("string"))))
 
 
 def minhash_lsh_pairs(
@@ -195,9 +238,12 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
     rows = num_hashes // bands per band; two docs are candidates iff some
-    band's row-slice hashes equal. Shuffle key is (band_id, band_hash) —
-    uniform by construction, no skew. Returns candidates with the estimated
-    Jaccard (matching signature fraction)."""
+    band's row-slice is equal. Shuffle key is (band_id, band_key) — uniform
+    by construction, no skew. The band key is the raw comma-joined slice
+    (≤ ~44 bytes; equality on it is *exactly* slice equality, so the SQL
+    oracle reproduces the candidate set with zero collision risk — a
+    64-bit rehash would only save a few shuffle bytes). Returns candidates
+    with the estimated Jaccard (matching signature fraction)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, text_col, key_col)
     banded = sigs.select(
@@ -208,14 +254,14 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * rows + r + 1)
-                                    for r in range(rows)
-                                ],
-                            )
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(bands)

@@ -89,12 +89,16 @@ def lang_id(text: Column) -> Column:
 
 def rolling_fingerprint(text: Column, window: int = 16) -> Column:
     """Document fingerprint: md5 over the text's char-32-gram skeleton —
-    cheap shift-resistant hash (winnowing-lite). Deterministic, JVM-only."""
+    cheap shift-resistant hash (winnowing-lite). Deterministic, JVM-only.
+    The tail window start is clamped to 1 explicitly (positive-start
+    substring semantics are engine-identical; negative starts are not —
+    a 9-15 char text diverges between Spark and DuckDB otherwise)."""
+    tail_start = F.greatest(F.length(text) - F.lit(window - 1), F.lit(1))
     return F.md5(
         F.concat_ws(
             "|",
             F.substring(text, 1, window),
-            F.substring(text, -window, window),
+            F.substring(text, tail_start, F.lit(window)),
             F.length(text).cast("string"),
             F.md5(text),
         )
