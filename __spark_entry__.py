@@ -515,12 +515,40 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, exact all-pairs path (the LSH-
-    bucketed scale path is rows-only-tested; same scoring expression)."""
+    """Embedding-cosine near-dup pairs, *exact* mode at a low threshold
+    (0.4): inherently O(n²) compute, but planned as a block-grid equi-join
+    (bounded task memory, uniform cells, no CartesianProduct operator) —
+    see operators/similarity.py. The sub-quadratic scale path is
+    embedding_neardup_lsh below."""
     from logpipe_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.4, bits=None).select("id_a", "id_b")
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Multi-probe hyperplane-LSH near-dup — the 100 TB path, value-checked
+    against the exact all-pairs oracle. The fixture's embeddings are random
+    (max pairwise cosine ≈ 0.52), so near-dup structure is *derived
+    deterministically*: each vector gets a ±2% alternating-component
+    perturbed copy (cosine ≈ 0.9998 to its source, ≤ ~0.52 to everything
+    else). At θ=0.9 the true pairs are exactly the 500 planted ones; the
+    probe radius (hamming ≤ 2 of 8 planes) covers the ~1.6° perturbation
+    angle, so LSH output == exact output — verified by the oracle, and the
+    plan is explode → equi-join, no cartesian."""
+    from logpipe_spark.operators.similarity import neardup_lsh_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double") * (1 + 0.02 * (1 - 2 * (i % 2))),
+        ).alias("embedding"),
+    )
+    derived = orig.unionByName(pert)
+    return neardup_lsh_multiprobe(derived, threshold=0.9, bits=8).select("id_a", "id_b")
 
 
 def q_text_quality(spark, sf_dir):
@@ -576,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "percentiles": q_percentiles,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "cube": q_cube,
         "set_intersect": q_set_intersect,
         "doc_fingerprint": q_doc_fingerprint,
@@ -911,6 +940,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "embedding_neardup_lsh": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), d AS (
+              SELECT vec_id AS id, v FROM e
+              UNION ALL
+              SELECT vec_id + 100000 AS id,
+                     list_transform(v,
+                         (x, i) -> x * (1 + 0.02 * (1 - 2 * ((i - 1) % 2)))) AS v
+              FROM e
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM d a JOIN d b ON a.id < b.id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -159,11 +159,20 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     bits: int | None = 8,
     dim: int | None = None,
+    blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup mode): candidate pairs
-    via matching LSH hyperplane buckets (``bits=None`` → exact all-pairs,
-    the small-corpus/oracle path), then exact cosine ≥ threshold. At scale
-    the bucket join bounds the quadratic term to within-bucket pairs."""
+    via matching LSH hyperplane buckets, then exact cosine ≥ threshold. At
+    scale the bucket join bounds the quadratic term to within-bucket pairs.
+
+    ``bits=None`` → *exact* mode. Exact cosine-threshold join is inherently
+    O(n²) compute, but the plan need not be a cartesian product: rows are
+    assigned to ``blocks`` hash blocks and joined through the upper-
+    triangular (block_i ≤ block_j) grid — an equi-join whose B(B+1)/2
+    cells each hold ~2n/B rows, so task memory and skew stay bounded and
+    AQE can split cells further. Use the LSH modes (``bits=…`` here, or
+    ``neardup_lsh_multiprobe`` for guaranteed-radius candidates) when n²
+    compute itself is the problem."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if bits:
         planes = _hyperplanes(dim or _infer_dim(emb, vec_col), bits)
@@ -171,17 +180,86 @@ def embedding_neardup_pairs(
         a = base.alias("a")
         b = base.alias("b")
         cand = a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a.id") < F.col("b.id")))
-    else:
-        a = base.alias("a")
-        b = base.alias("b")
-        cand = a.join(b, F.col("a.id") < F.col("b.id"))
-    return (
-        cand.select(
+        pairs = cand.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
         )
+    else:
+        spark = emb.sparkSession
+        grid = spark.createDataFrame(
+            [(i, j) for i in range(blocks) for j in range(i, blocks)],
+            "bi int, bj int",
+        )
+        left = base.select(
+            F.col("id").alias("ida"), F.col("v").alias("va"),
+            F.pmod(F.hash("id"), F.lit(blocks)).cast("int").alias("bi"),
+        )
+        right = base.select(
+            F.col("id").alias("idb"), F.col("v").alias("vb"),
+            F.pmod(F.hash("id"), F.lit(blocks)).cast("int").alias("bj"),
+        )
+        cells = left.join(F.broadcast(grid), "bi").join(right, "bj")
+        # off-diagonal cells see each unordered pair once (keep it, then
+        # normalize id order); diagonal cells see both orderings (keep one)
+        cand = cells.filter(
+            (F.col("bi") < F.col("bj")) | (F.col("ida") < F.col("idb"))
+        )
+        pairs = cand.select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+    return pairs.filter(F.col("sim") >= threshold)
+
+
+def neardup_lsh_multiprobe(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via multi-probe hyperplane LSH — the 100 TB path.
+
+    Both sides explode each vector's ``bits``-bit signature into bits+1
+    probe keys (identity + every single-bit flip); a key match between two
+    rows covers every pair within hamming distance ≤ 2 of each other's
+    signatures. Candidates are then verified with exact cosine, so every
+    emitted pair is exact; recall covers any pair whose signatures differ
+    in ≤ 2 planes (for near-identical vectors — angle θ — each plane flips
+    with probability θ/π, so at the dedup thresholds this targets, missing
+    3+ of 8 planes is vanishingly rare and contract-tested empirically
+    against the exact oracle on the fixtures). Plan shape: explode (bits+1)×
+    → shuffle equi-join on the probe key → distinct → scoring. No cartesian
+    anywhere."""
+    planes = _hyperplanes(dim or _infer_dim(emb, vec_col), bits)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "_sig", lsh_bucket_col(F.col("v"), planes)
+    )
+    probes = F.array(
+        F.col("_sig"),
+        *[F.col("_sig").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
+    )
+    keyed = base.select("id", "v", F.explode(probes).alias("_k"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, "_k")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )
 
 

@@ -132,3 +132,51 @@ def test_embedding_neardup_lsh_subset(emb):
     }
     assert lsh <= exact  # candidates are pruned, never invented
     assert len(lsh) > 0
+
+
+def test_neardup_multiprobe_exact_on_planted_dups(emb, emb_np):
+    """Multi-probe LSH (hamming ≤ 2 probe radius) recovers EXACTLY the
+    planted near-dup pairs: each vector unioned with a ±2% alternating
+    perturbation of itself (cosine ≈ 0.9998); threshold 0.9 separates the
+    planted pairs (≈1.0) from the random background (≤ ~0.52)."""
+    import numpy as np
+
+    from logpipe_spark.operators.similarity import neardup_lsh_multiprobe
+
+    orig = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") * (1 + 0.02 * (1 - 2 * (i % 2)))
+        ).alias("embedding"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_lsh_multiprobe(orig.unionByName(pert), threshold=0.9, bits=8).collect()
+    }
+    # numpy exact oracle over the same derived corpus
+    scale = np.array([1 + 0.02 * (1 - 2 * (i % 2)) for i in range(64)])
+    vecs = {i: v for i, v in emb_np.items()}
+    vecs.update({i + 100000: v * scale for i, v in emb_np.items()})
+    ids = sorted(vecs)
+    E = np.stack([vecs[i] for i in ids])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    exp = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.9
+    }
+    assert got == exp
+    assert len(got) == emb.count()  # one planted pair per source vector
+
+
+def test_exact_blockgrid_no_cartesian(emb):
+    """The exact mode's physical plan is a block-grid equi-join: no
+    CartesianProduct / nested-loop operator anywhere."""
+    from logpipe_spark.operators.similarity import embedding_neardup_pairs
+
+    plan = embedding_neardup_pairs(emb, threshold=0.4, bits=None)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
