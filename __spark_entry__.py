@@ -323,7 +323,8 @@ def q_langid_quality(spark, sf_dir):
 def q_es_bulk(spark, sf_dir):
     """§2.3/§2.4 the reference's richest operator end-to-end: ES output's
     grep → tokenize → $N template → /_bulk batching, as rendered payloads
-    (`logpipe-output-es.c:543-596,610-661,464-517`)."""
+    (`logpipe-output-es.c:543-596,610-661,464-517`). Keyed deterministic
+    batching (floor(doc_id/50)) — no global window in the plan."""
     from logpipe_spark.operators.writers import render_es_bulk
 
     docs = _t(spark, sf_dir, "documents")
@@ -1069,11 +1070,10 @@ def oracle_sql() -> dict[str, str]:
             ), r AS (
               SELECT doc_id,
                      '{"id":' || doc_id || ',"f1":"' || coalesce(toks[1], '')
-                       || '","f2":"' || coalesce(toks[2], '') || '"}' AS doc,
-                     ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+                       || '","f2":"' || coalesce(toks[2], '') || '"}' AS doc
               FROM f
             )
-            SELECT CAST(FLOOR(rn / 50.0) AS BIGINT) AS batch_id,
+            SELECT CAST(FLOOR(doc_id / 50.0) AS BIGINT) AS batch_id,
                    COUNT(*) AS n_docs,
                    string_agg('{"index":{}}' || chr(10) || doc, chr(10)
                               ORDER BY doc_id) || chr(10) AS payload

@@ -38,6 +38,13 @@ LINEAGE_SCHEMA_COLS = [
     "dropped",
 ]
 
+# batch pipeline lineage rows (observe()-collected whole-snapshot counters;
+# partition_id = -1 means "all partitions of this snapshot")
+LINEAGE_DDL = (
+    "run_id string, snapshot_id long, partition_id int, "
+    "rows_in long, parsed long, routed long, dropped long"
+)
+
 
 def repartition_salted(
     df: DataFrame,

@@ -56,6 +56,7 @@ def render_es_bulk(
     min_fields: int | None = None,
     batch_rows: int = 500,
     order_col: str | None = None,
+    batch_mode: str = "keyed",
 ) -> DataFrame:
     """The full ES-output transform chain, producing `/_bulk` POST bodies.
 
@@ -66,9 +67,16 @@ def render_es_bulk(
       interleave (:543-596).
 
     Returns (batch_id, n_docs, payload). Batching here is row-count based
-    (the reference uses a 4 MB byte buffer); at scale batch boundaries are
-    per-partition so no global sort is needed — this helper uses an
-    explicit order column to stay deterministic for the oracle."""
+    (the reference uses a 4 MB byte buffer). Two batch assignments:
+
+    - ``"keyed"`` (default, the scale path): batch_id = floor(order_key /
+      batch_rows) — a pure projection, so the only exchange is the hash
+      shuffle of the groupBy and batches hold ≤ batch_rows rows (exactly
+      batch_rows when the key is dense). A global row_number would funnel
+      every row through ONE window task — a scale-killer the reference's
+      per-connection buffering never had.
+    - ``"rank"``: exact batch_rows-sized batches via a global ordered
+      row_number — only for small, explicitly-ordered exports."""
     t = F.col(text_col)
     if grep is not None:
         df = df.filter(t.contains(grep))
@@ -78,10 +86,16 @@ def render_es_bulk(
         df = df.filter(F.size(fields) >= min_fields)
     rendered = template_nsub(doc_template, key_col, fields)
     order = F.col(order_col) if order_col else key_col
-    w = Window.orderBy(order)
+    if batch_mode == "keyed":
+        batch_id = F.floor(order / batch_rows).cast("long")
+    elif batch_mode == "rank":
+        w = Window.orderBy(order)
+        batch_id = ((F.row_number().over(w) - 1) / batch_rows).cast("long")
+    else:
+        raise ValueError(f"unknown batch_mode {batch_mode!r} (keyed|rank)")
     batched = df.select(
         rendered.alias("_doc"),
-        ((F.row_number().over(w) - 1) / batch_rows).cast("long").alias("batch_id"),
+        batch_id.alias("batch_id"),
         order.alias("_ord"),
     )
     return (

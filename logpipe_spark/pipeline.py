@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from logpipe_spark.ledger import SnapshotLedger
@@ -26,8 +26,8 @@ from logpipe_spark.operators.enrich import enrich
 from logpipe_spark.operators.parse import extract_builtin, extract_pandas
 from logpipe_spark.operators.route import route
 from logpipe_spark.operators.sinks import (
+    LINEAGE_DDL,
     fan_out_write,
-    lineage_metrics,
     repartition_salted,
 )
 
@@ -75,18 +75,41 @@ def run_pipeline(
     for snap in ledger.pending(src_dir):
         df = spark.read.parquet(os.path.join(src_dir, f"snapshot={snap}"))
         routed = build_stage_chain(df, dim, rules, parser=parser, dim_keys=dim_keys)
+
+        # ONE action per snapshot: conservation counters ride the write via
+        # observe() (collected by a listener, zero extra reads) instead of a
+        # separate aggregation action over a persisted copy — the
+        # single-read/multi-write invariant of the reference's
+        # output.c:256-277, now including the bookkeeping. The observe node
+        # sits above the route stage and below fan_out_write's NULL-sink
+        # filter, so dropped rows are counted, then discarded.
+        obs = Observation(f"lineage_{run_id}_s{snap}")
+        routed = routed.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count("n_fields").alias("parsed"),
+            F.count("sink").alias("routed"),
+            F.coalesce(
+                F.sum(F.col("sink").isNull().cast("long")), F.lit(0)
+            ).alias("dropped"),
+        )
         if salt_partitions:
             routed = repartition_salted(routed, salt_partitions)
+        fan_out_write(routed, os.path.join(data_root, f"snapshot={snap}"))
 
-        # one cached pass feeds lineage + fan-out (single-read/multi-write,
-        # the reference's output.c:256-277 invariant)
-        routed = routed.persist()
-        lineage = lineage_metrics(routed, run_id, snap)
+        m = obs.get
+        lineage = spark.createDataFrame(
+            [
+                (
+                    run_id, int(snap), -1,  # -1 = whole-snapshot counters
+                    m["rows_in"], m["parsed"], m["routed"], m["dropped"],
+                )
+            ],
+            LINEAGE_DDL,
+        )
         lineage.write.mode("overwrite").parquet(
             os.path.join(lineage_root, f"snapshot={snap}")
         )
-        fan_out_write(routed, os.path.join(data_root, f"snapshot={snap}"))
-        routed.unpersist()
 
         if fail_after_write_snapshot == snap:
             raise RuntimeError(f"injected crash after write of snapshot {snap}")

@@ -53,6 +53,7 @@ def test_render_es_bulk_shape(spark):
         grep="spark",
         batch_rows=2,
         order_col="doc_id",
+        batch_mode="rank",
     ).orderBy("batch_id").collect()
     # docs 0,2,4,6 match grep → batches of 2 → 2 batches
     assert [r["n_docs"] for r in out] == [2, 2]
@@ -73,3 +74,25 @@ def test_render_es_bulk_min_fields(spark):
         grep="spark", min_fields=3, order_col="doc_id",
     ).collect()
     assert sum(r["n_docs"] for r in out) == 1
+
+
+def test_render_es_bulk_keyed_no_global_window(spark):
+    """Keyed batching (the default/scale mode): batch_id is a projection of
+    the order key — correct payload grouping AND no Window operator / no
+    single-partition exchange in the physical plan."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "text": [f"spark w{i} t" for i in range(10)]})
+    )
+    df = render_es_bulk(
+        docs, '{"id":$0}', F.col("doc_id").cast("string"),
+        grep="spark", batch_rows=4, order_col="doc_id",
+    )
+    out = {r["batch_id"]: r for r in df.collect()}
+    # floor(doc_id/4): batches {0..3}, {4..7}, {8,9}
+    assert {k: out[k]["n_docs"] for k in sorted(out)} == {0: 4, 1: 4, 2: 2}
+    assert out[2]["payload"] == '{"index":{}}\n{"id":8}\n{"index":{}}\n{"id":9}\n'
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
