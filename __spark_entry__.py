@@ -552,6 +552,34 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return neardup_lsh_multiprobe(derived, threshold=0.9, bits=8).select("id_a", "id_b")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked on its deterministic half: a
+    media table derived from documents (payload = utf-8 bytes of text,
+    kind round-robin by doc_id) runs through the real Arrow-batched
+    mapInPandas feature pass (operators/multimodal.py). n_bytes and sha256
+    are exact and DuckDB-verifiable; the decode-kernel outputs (stub seams
+    — no codecs in this container) are dropped from the contract columns."""
+    from logpipe_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(32).alias("width"),
+            F.lit(24).alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(100).alias("n_frames"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
+
+
 def q_text_quality(spark, sf_dir):
     return lang_quality_stats(_t(spark, sf_dir, "documents"))
 
@@ -610,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_tokens": q_bpe_tokens,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1078,6 +1107,15 @@ def oracle_sql() -> dict[str, str]:
                    string_agg('{"index":{}}' || chr(10) || doc, chr(10)
                               ORDER BY doc_id) || chr(10) AS payload
             FROM r GROUP BY 1
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
         """,
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),

@@ -127,7 +127,8 @@ def media_repartition(media: DataFrame, target_mb: int = 64) -> DataFrame:
     """Partition by payload *bytes*, not rows: estimate total size from a
     cheap aggregate and repartition so each partition holds ~target_mb.
     With 1-10 MB blobs a row-count default would OOM executors."""
-    total = media.agg(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
+    row = media.agg(F.sum(F.length("payload")).alias("b")).first()
+    total = (row["b"] if row else None) or 0
     n = max(int(total / (target_mb * 1024 * 1024)), 1)
     return media.repartition(n)
 

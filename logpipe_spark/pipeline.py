@@ -58,14 +58,24 @@ def run_pipeline(
     salt_partitions: int | None = None,
     fail_after_write_snapshot: int | None = None,
     dim_keys: list[str] | None = None,
+    include_files: list[str] | None = None,
+    exclude_files: list[str] | None = None,
 ) -> dict:
     """Process every pending snapshot under ``src_dir`` exactly once.
+
+    ``include_files`` / ``exclude_files``: source-level basename glob
+    filters (the reference's files../exclude_files.. walk) — pruned from
+    the file LIST before the scan, so excluded files cost zero IO. A
+    snapshot whose files are all filtered out commits with zero-row
+    lineage (the reference likewise commits nothing and moves on).
 
     ``fail_after_write_snapshot``: test hook — raise after writing (before
     committing) that snapshot, simulating a worker crash at the worst moment.
 
     Returns {run_id, processed: [snapshot ids], lineage_rows: int}.
     """
+    from logpipe_spark.sources.readers import select_input_files
+
     run_id = run_id or uuid.uuid4().hex[:12]
     ledger = SnapshotLedger(out_dir)
     data_root = os.path.join(out_dir, "data")
@@ -73,7 +83,21 @@ def run_pipeline(
     processed = []
 
     for snap in ledger.pending(src_dir):
-        df = spark.read.parquet(os.path.join(src_dir, f"snapshot={snap}"))
+        snap_dir = os.path.join(src_dir, f"snapshot={snap}")
+        if include_files or exclude_files:
+            paths = select_input_files(snap_dir, include_files, exclude_files)
+            if not paths:
+                spark.createDataFrame(
+                    [(run_id, int(snap), -1, 0, 0, 0, 0)], LINEAGE_DDL
+                ).write.mode("overwrite").parquet(
+                    os.path.join(lineage_root, f"snapshot={snap}")
+                )
+                ledger.commit(snap, run_id)
+                processed.append(snap)
+                continue
+            df = spark.read.parquet(*paths)
+        else:
+            df = spark.read.parquet(snap_dir)
         routed = build_stage_chain(df, dim, rules, parser=parser, dim_keys=dim_keys)
 
         # ONE action per snapshot: conservation counters ride the write via

@@ -23,6 +23,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from logpipe_spark.functions.units import parse_duration_us, parse_size_bytes
 from logpipe_spark.pipeline import run_pipeline
 
 
@@ -36,6 +37,13 @@ class PipelineSpec:
     parser: str = "builtin"
     salt_partitions: int | None = None
     run_id: str | None = None
+    # source-level basename glob filters (logpipe-input-file.c:593-739):
+    # keep iff ALL include globs match and NO exclude glob matches
+    files: list[str] = field(default_factory=list)
+    exclude_files: list[str] = field(default_factory=list)
+    # unit-bearing scalars (util.c:525-568 semantics: "128MB", "100ms")
+    max_partition_bytes: int | None = None  # scan split target
+    poll_interval_us: int | None = None  # streaming trigger period
 
     @classmethod
     def from_json(cls, text: str) -> "PipelineSpec":
@@ -48,6 +56,8 @@ class PipelineSpec:
             if missing:
                 raise ValueError(f"rule {rule!r} missing keys: {sorted(missing)}")
             rule.setdefault("exclude", False)
+        mpb = cfg.get("max_partition_bytes")
+        poll = cfg.get("poll_interval")
         return cls(
             source_dir=cfg["source_dir"],
             out_dir=cfg["out_dir"],
@@ -57,6 +67,10 @@ class PipelineSpec:
             parser=cfg.get("parser", "builtin"),
             salt_partitions=cfg.get("salt_partitions"),
             run_id=cfg.get("run_id"),
+            files=cfg.get("files", []),
+            exclude_files=cfg.get("exclude_files", []),
+            max_partition_bytes=parse_size_bytes(mpb) if mpb is not None else None,
+            poll_interval_us=parse_duration_us(poll) if poll is not None else None,
         )
 
     @classmethod
@@ -71,6 +85,10 @@ class PipelineSpec:
             from logpipe_spark.fixtures import gen_tool_role_dim
 
             dim = spark.createDataFrame(gen_tool_role_dim())
+        if self.max_partition_bytes:
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(self.max_partition_bytes)
+            )
         return run_pipeline(
             spark,
             self.source_dir,
@@ -81,6 +99,8 @@ class PipelineSpec:
             parser=self.parser,
             salt_partitions=self.salt_partitions,
             dim_keys=self.dim_keys,
+            include_files=self.files or None,
+            exclude_files=self.exclude_files or None,
         )
 
 

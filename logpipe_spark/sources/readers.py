@@ -15,11 +15,47 @@ to plan construction.
 
 from __future__ import annotations
 
+import os
 import subprocess
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from logpipe_spark.globs import is_match
+
+
+def select_input_files(
+    src_dir: str,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> list[str]:
+    """Source-level include/exclude glob walk — the reference's
+    ``files..files8`` / ``exclude_files..exclude_files8`` directory filter
+    (`src-plugins/logpipe-input-file.c:593-739`), with its exact
+    semantics: a file survives iff its basename matches **every**
+    configured include glob (AND — each non-matching filesN kills it) and
+    **no** exclude glob (any match kills it).
+
+    This prunes the *file list before the scan* — excluded files cost zero
+    IO, the same way the reference never opens them (and the only way the
+    filter actually pushes down: an input_file_name() predicate would read
+    every row first). Spark-internal sidecars (_SUCCESS, dotfiles, .crc)
+    are never data files and are skipped up front."""
+    names = sorted(
+        n
+        for n in os.listdir(src_dir)
+        if not n.startswith((".", "_"))
+        and os.path.isfile(os.path.join(src_dir, n))
+    )
+    out = []
+    for n in names:
+        if include and not all(is_match(g, n) for g in include):
+            continue
+        if exclude and any(is_match(g, n) for g in exclude):
+            continue
+        out.append(os.path.join(src_dir, n))
+    return out
 
 
 def snapshot_source(
@@ -77,14 +113,23 @@ def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
 
 
 def exec_source(
-    spark: SparkSession, argv: list[str], name: str = "exec", max_lines: int = 1_000_000
+    spark: SparkSession, argv: list[str], name: str = "exec",
+    max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Run a command, ingest its stdout lines as (filename, line_no, text) —
     input-exec's popen loop done once, driver-side, then distributed.
-    Suitable for bounded commands only (the reference tails forever; that
-    mode belongs to the streaming file source)."""
+
+    Driver-memory guard is BYTE-based (default 64 MB): stdout beyond the
+    cap is truncated at the last complete line. This source is for bounded
+    commands only — for anything unbounded or large, write the command's
+    output to files and use ``snapshot_stream`` (the streaming file
+    source), which never materializes on the driver."""
     proc = subprocess.run(argv, capture_output=True, text=True, timeout=300)
-    lines = proc.stdout.splitlines()[:max_lines]
+    text = proc.stdout
+    if len(text.encode("utf-8", "ignore")) > max_bytes:
+        text = text[:max_bytes]
+        text = text[: text.rfind("\n") + 1] if "\n" in text else text
+    lines = text.splitlines()
     schema = T.StructType(
         [
             T.StructField("filename", T.StringType()),

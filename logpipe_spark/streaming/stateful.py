@@ -48,12 +48,14 @@ def _track_conv(
         turns += len(pdf)
         chars += int(pdf["text"].str.len().sum())
         idx = pdf["turn_idx"].to_numpy()
-        prev = last_turn
-        for i in idx:
-            if i <= prev:
-                violations += 1
-            prev = int(i)
-        last_turn = prev
+        if len(idx):
+            # vectorized monotonicity check: each index vs its predecessor
+            # (the carried last_turn seeds the first comparison)
+            import numpy as np
+
+            prevs = np.concatenate(([last_turn], idx[:-1]))
+            violations += int((idx <= prevs).sum())
+            last_turn = int(idx[-1])
     state.update((turns, chars, last_turn, violations))
     yield pd.DataFrame(
         {

@@ -48,9 +48,15 @@ def run_stream(
     rules: list[dict],
     available_now: bool = True,
     timeout_sec: int = 300,
+    trigger_interval_us: int | None = None,
 ) -> dict:
     """Micro-batch the source dir through the pipeline into partitioned
     sinks + per-batch lineage, exactly once per batch id.
+
+    ``trigger_interval_us``: continuous-tail poll period (the reference's
+    min/max_usleep backoff, `logpipe-input-file.c` config via
+    usleep_atou64) — used when ``available_now`` is False; parse config
+    strings like "100ms" with functions.units.parse_duration_us.
 
     Returns {"batches": n} after the query drains (available_now) or
     times out."""
@@ -95,6 +101,9 @@ def run_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval_us:
+        ms = max(trigger_interval_us // 1000, 1)
+        writer = writer.trigger(processingTime=f"{ms} milliseconds")
     query = writer.start()
     query.awaitTermination(timeout_sec)
     if query.isActive:

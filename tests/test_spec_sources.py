@@ -55,3 +55,102 @@ def test_exec_source(spark):
     assert [r["text"] for r in rows] == ["l1", "l2", "l3"]
     assert rows[0]["filename"] == "cmd1"
     assert rows[2]["line_no"] == 3
+
+
+def test_unit_parsing():
+    """util.c:525-568 semantics: float prefix, case-insensitive suffix,
+    1024-based sizes, bare = base unit; unknown suffix is an error."""
+    from logpipe_spark.functions.units import (
+        parse_duration_ms,
+        parse_duration_us,
+        parse_size_bytes,
+    )
+
+    assert parse_size_bytes("10MB") == 10 * 1024 * 1024
+    assert parse_size_bytes("1.5kb") == 1536
+    assert parse_size_bytes("2GB") == 2 * 1024**3
+    assert parse_size_bytes("1tb") == 1024**4
+    assert parse_size_bytes("300B") == 300
+    assert parse_size_bytes("4096") == 4096
+    assert parse_size_bytes(4096) == 4096
+    assert parse_duration_us("100ms") == 100_000
+    assert parse_duration_us("2s") == 2_000_000
+    assert parse_duration_us("50us") == 50
+    assert parse_duration_us("750") == 750
+    assert parse_duration_ms("1.5s") == 1500
+    for bad in ("10XB", "ms100", "", "10 MB ish", None):
+        with pytest.raises((ValueError, TypeError)):
+            parse_size_bytes(bad)
+    with pytest.raises(ValueError):
+        parse_duration_us("5mb")
+
+
+def test_select_input_files_walk(tmp_path):
+    """Reference walk semantics (logpipe-input-file.c:593-739): survive iff
+    ALL include globs match (AND) and NO exclude glob matches; sidecars
+    skipped."""
+    from logpipe_spark.sources.readers import select_input_files
+
+    d = str(tmp_path)
+    for n in ("a-1.parquet", "a-2.parquet", "b-1.parquet", "_SUCCESS", ".hidden"):
+        open(os.path.join(d, n), "w").close()
+    base = lambda paths: [os.path.basename(p) for p in paths]
+    assert base(select_input_files(d)) == ["a-1.parquet", "a-2.parquet", "b-1.parquet"]
+    assert base(select_input_files(d, include=["a-*"])) == ["a-1.parquet", "a-2.parquet"]
+    # AND semantics across include globs, like files..files8
+    assert base(select_input_files(d, include=["a-*", "*-1*"])) == ["a-1.parquet"]
+    assert base(select_input_files(d, exclude=["*-2*"])) == ["a-1.parquet", "b-1.parquet"]
+    assert base(select_input_files(d, include=["a-?.parquet"], exclude=["a-1*"])) == ["a-2.parquet"]
+
+
+def test_spec_include_exclude_files(spark, transcripts_pdf, rules, golden, tmp_path):
+    """Spec-driven source allowlist/denylist: an extra noise file in a
+    snapshot dir is skipped at the file-list level, reproducing the golden
+    (oracle) counts; without the filter the counts shift."""
+    src = str(tmp_path / "src")
+    write_snapshots(transcripts_pdf, src, n_snapshots=2)
+    # plant a noise file with real rows in snapshot 0
+    noise = transcripts_pdf.head(200).copy()
+    noise.to_parquet(os.path.join(src, "snapshot=0", "noise-0.parquet"), index=False)
+
+    out_noisy = str(tmp_path / "out_noisy")
+    PipelineSpec.from_json(json.dumps(
+        {"source_dir": src, "out_dir": out_noisy, "rules": rules}
+    )).run(spark)
+    noisy_total = read_sinks(spark, out_noisy).count()
+
+    out_filtered = str(tmp_path / "out_filtered")
+    spec = PipelineSpec.from_json(json.dumps({
+        "source_dir": src, "out_dir": out_filtered, "rules": rules,
+        "files": ["part-*.parquet"], "exclude_files": ["noise-*"],
+        "max_partition_bytes": "64MB", "poll_interval": "100ms",
+    }))
+    assert spec.max_partition_bytes == 64 * 1024 * 1024
+    assert spec.poll_interval_us == 100_000
+    spec.run(spark)
+    got = {
+        r["sink"]: r["n"]
+        for r in read_sinks(spark, out_filtered)
+        .groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == dict(golden["sink_counts"])  # == python oracle
+    assert noisy_total > sum(got.values())  # the filter actually removed rows
+
+
+def test_spec_all_files_excluded_commits_empty(spark, transcripts_pdf, rules, tmp_path):
+    from logpipe_spark.ledger import SnapshotLedger
+    from logpipe_spark.pipeline import read_lineage
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_snapshots(transcripts_pdf, src, n_snapshots=2)
+    res = PipelineSpec.from_json(json.dumps({
+        "source_dir": src, "out_dir": out, "rules": rules,
+        "files": ["does-not-match-*"],
+    })).run(spark)
+    assert res["processed"] == [0, 1]
+    assert SnapshotLedger(out).committed() == {0, 1}
+    lin = read_lineage(spark, out)
+    assert lin.agg(F.sum("rows_in")).first()[0] == 0
+    with pytest.raises(ValueError):
+        read_sinks(spark, out)
