@@ -310,6 +310,26 @@ def q_key_cut(spark, sf_dir):
     ).groupBy("route_key").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_translate_charset(spark, sf_dir):
+    """§2.4 translate: every char of the charset becomes the separator
+    (logpipe-output-es.c:620-626 charset translate stage)."""
+    from logpipe_spark.functions.text import translate_charset
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", translate_charset(F.col("text"), "aeiou").alias("translated")
+    )
+
+
+def q_fields_strictly(spark, sf_dir):
+    """§2.4 fields_strictly: drop rows with fewer fields than the template
+    demands (logpipe-output-es.c:663-668)."""
+    from logpipe_spark.functions.text import fields_strictly
+
+    docs = _t(spark, sf_dir, "documents")
+    return fields_strictly(docs, min_fields=12).select("doc_id", "n_chars")
+
+
 def q_langid_quality(spark, sf_dir):
     """Text-analysis pass: heuristic lang + integer quality per doc."""
     docs = _t(spark, sf_dir, "documents")
@@ -623,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_rollup": q_date_rollup,
         "key_cut": q_key_cut,
         "langid_quality": q_langid_quality,
+        "translate_charset": q_translate_charset,
+        "fields_strictly": q_fields_strictly,
         "pivot": q_pivot,
         "rollup": q_rollup,
         "parse_extract_pandas": q_parse_extract_pandas,
@@ -965,6 +987,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "langid_quality": _langid_quality_sql(),
+        "translate_charset": """
+            SELECT doc_id, translate(text, 'aeiou', '     ') AS translated
+            FROM documents
+        """,
+        "fields_strictly": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 12
+        """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

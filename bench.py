@@ -192,7 +192,9 @@ def main() -> None:
     bench_queries = [
         "parse_extract", "route_fanout", "enrich_broadcast", "agg_persink",
         "window_topk", "sessionize", "doc_route", "dedup_fingerprint",
-        "dedup_minhash", "ann_cosine_topk", "text_quality",
+        "dedup_minhash", "minhash_lsh_pairs", "ann_cosine_topk",
+        "embedding_neardup_lsh", "es_bulk_render", "multimodal_features",
+        "text_quality",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:
@@ -206,9 +208,17 @@ def main() -> None:
 
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        # N→4N at N=8: same job, same input, local[8] vs local[32], each in
-        # its own JVM (see BENCH.md for the task-granularity/variance story)
-        points = (CPUS // 4, CPUS) if CPUS >= 8 else (2, CPUS)
+        # three points, two 4× transitions (2→8→32 at CPUS=32): the ≥0.8
+        # efficiency criterion is evidenced at both the low-parallelism
+        # regime (scheduler-overhead-bound) and the high one
+        # (memory-bandwidth-bound); same job, same input, each point in its
+        # own JVM (see BENCH.md for the task-granularity/variance story)
+        if CPUS >= 32:
+            points = (CPUS // 16, CPUS // 4, CPUS)
+        elif CPUS >= 8:
+            points = (CPUS // 4, CPUS)
+        else:
+            points = (2, CPUS)
         scaling = measure_scaling(src_path, points)
         for c in points:
             scaling[f"turns_per_sec_local[{c}]"] = round(

@@ -72,19 +72,20 @@ def run_stream(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        routed = build_stage_chain(batch_df, dim, rules).persist()
-        # lineage per micro-batch (same conservation law as batch mode)
-        (
-            routed.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("rows_in"),
-                F.count("n_fields").alias("parsed"),
-                F.count("sink").alias("routed"),
-                F.sum(F.col("sink").isNull().cast("long")).alias("dropped"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(os.path.join(lineage_root, f"batch={batch_id}"))
+        from pyspark.sql import Observation
+
+        # same single-action shape as batch mode: conservation counters
+        # ride the sink write via observe() — no persist, no second pass
+        routed = build_stage_chain(batch_df, dim, rules)
+        obs = Observation(f"stream_lineage_b{batch_id}")
+        routed = routed.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count("n_fields").alias("parsed"),
+            F.count("sink").alias("routed"),
+            F.coalesce(
+                F.sum(F.col("sink").isNull().cast("long")), F.lit(0)
+            ).alias("dropped"),
         )
         (
             routed.filter(F.col("sink").isNotNull())
@@ -92,7 +93,16 @@ def run_stream(
             .partitionBy("sink")
             .parquet(os.path.join(data_root, f"batch={batch_id}"))
         )
-        routed.unpersist()
+        m = obs.get
+        spark = batch_df.sparkSession
+        (
+            spark.createDataFrame(
+                [(int(batch_id), m["rows_in"], m["parsed"], m["routed"], m["dropped"])],
+                "batch_id long, rows_in long, parsed long, routed long, dropped long",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(lineage_root, f"batch={batch_id}"))
+        )
         seen["batches"] += 1
 
     writer = (

@@ -59,3 +59,20 @@ def test_stream_picks_up_new_files(spark, stream_env, dim_df, rules, transcripts
     assert res["batches"] == 1
     after = read_stream_sinks(spark, out).count()
     assert after > before
+
+
+def test_stream_lineage_conservation(spark, stream_env, golden, transcripts_pdf):
+    """Per-batch observe() counters obey the same conservation law as batch
+    mode: sum(rows_in) == len(input) == sum(routed) + sum(dropped)."""
+    _, out = stream_env
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    agg = lin.agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("routed").alias("routed"),
+        F.sum("dropped").alias("dropped"),
+    ).first()
+    # stream_env may have been extended by the new-files test; lower-bound
+    # on the original corpus, exact conservation always
+    assert agg["rows_in"] >= len(transcripts_pdf)
+    assert agg["routed"] + agg["dropped"] == agg["rows_in"]
+    assert agg["dropped"] >= golden["dropped"]
