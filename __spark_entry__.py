@@ -503,6 +503,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """End-to-end near-dup decisions: (dup_doc, keeper) via Jaccard ≥ 0.8
+    star rule (operators/dedup.py:dedup_keep_list)."""
+    from logpipe_spark.operators.dedup import dedup_keep_list
+
+    return dedup_keep_list(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus top-20 vocabulary terms (explode → hash agg → TopK)."""
+    from logpipe_spark.operators.textstats import top_terms
+
+    return top_terms(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash signatures (portable universal-hash mix), exposed as a
     scalar digest: the full 32-component signature is value-checked via
@@ -631,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_keep_list": q_dedup_keep_list,
+        "top_terms": q_top_terms,
         "dedup_minhash": q_dedup_minhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -662,6 +679,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _ngram_pairs_cte() -> str:
+    """Shared DuckDB CTE chain for token-3-gram Jaccard pairs ≥ 0.8 with
+    the Spark operator's hot-shingle cap mirrored (max_shingle_freq=1000):
+    stop-shingles leave BOTH the intersection counts and per-doc sizes."""
+    return """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents
+        ), sh0 AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS s
+          FROM toks
+        ), sh AS (
+          SELECT sh0.* FROM sh0
+          JOIN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000) ok
+            USING (s)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b USING (s)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b, n_common,
+                 CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+        )
+    """
 
 
 def _minhash_sig_cte(num_hashes: int = 32) -> str:
@@ -1089,37 +1142,19 @@ def oracle_sql() -> dict[str, str]:
                        AS INT) AS k_val
             FROM events
         """,
-        "dedup_ngram_jaccard": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-              FROM documents
-            ), sh0 AS (
-              SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(1, greatest(len(t) - 2, 0) + 1),
-                       i -> array_to_string(t[i:i+2], ' ')))) AS s
-              FROM toks
-            ), sh AS (
-              -- mirror the Spark operator's hot-shingle cap
-              -- (max_shingle_freq=1000): stop-shingles leave BOTH the
-              -- intersection counts and the per-doc sizes
-              SELECT sh0.* FROM sh0
-              JOIN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000) ok
-                USING (s)
-            ), sizes AS (
-              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-            ), inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-              FROM sh a JOIN sh b USING (s)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b, n_common,
-                   CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+        "dedup_ngram_jaccard": _ngram_pairs_cte()
+        + "SELECT doc_a, doc_b, n_common, jaccard FROM pairs",
+        "dedup_keep_list": _ngram_pairs_cte()
+        + """
+            SELECT doc_b AS dup_doc, MIN(doc_a) AS keeper
+            FROM pairs GROUP BY doc_b
+        """,
+        "top_terms": """
+            SELECT term, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS term
+              FROM documents)
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
         """,
         "es_bulk_render": """
             WITH f AS (

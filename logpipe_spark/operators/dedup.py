@@ -155,6 +155,32 @@ def ngram_jaccard_pairs(
     return out
 
 
+def dedup_keep_list(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """End-to-end near-dup *decision* pass: (dup_doc, keeper) rows — every
+    doc with a lower-keyed near-duplicate partner (token-n-gram Jaccard ≥
+    threshold) is dropped in favor of its lowest-keyed partner.
+
+    This is the industry-standard "keep first" star rule applied per
+    candidate pair (not transitive closure — connected components would
+    need an iterative join; for dedup the star rule over-keeps slightly,
+    never over-drops). Plan: the inverted-index pair join of
+    ``ngram_jaccard_pairs`` + one groupBy — no new shuffle shapes."""
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, key_col=key_col,
+        max_shingle_freq=max_shingle_freq,
+    )
+    return pairs.groupBy(F.col("doc_b").alias("dup_doc")).agg(
+        F.min("doc_a").alias("keeper")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -242,25 +242,27 @@ def neardup_lsh_multiprobe(
         F.col("_sig"),
         *[F.col("_sig").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
     )
-    keyed = base.select("id", "v", F.explode(probes).alias("_k"))
+    # candidate generation shuffles IDS ONLY — a (key, id) row is ~16
+    # bytes; carrying the vectors through the join + distinct would move
+    # the whole corpus (bits+1)× through two exchanges (measured 12×
+    # slower at sf0.1). Vectors are re-attached once per *surviving
+    # distinct pair* below.
+    keyed = base.select("id", F.explode(probes).alias("_k"))
     a = keyed.alias("a")
     b = keyed.alias("b")
     cand = (
         a.join(b, "_k")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return (
-        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+    vecs = base.select("id", "v")
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
     )
+    return scored.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
 
 
 def cosine_topk_lsh(

@@ -105,6 +105,24 @@ def rolling_fingerprint(text: Column, window: int = 16) -> Column:
     )
 
 
+def top_terms(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus top-k vocabulary terms (lowercased whitespace tokens,
+    duplicates counted). Plan: explode → partial+final hash agg → TopK
+    (TakeOrderedAndProject — never a global sort of the vocabulary).
+    Deterministic tie-break by term."""
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+        ).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Per-doc char/token counts (oracle-checked)."""
     t = F.col(text_col)
