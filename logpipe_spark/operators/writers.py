@@ -23,12 +23,21 @@ from logpipe_spark.functions.text import template_nsub, tokenize, translate_char
 
 
 def write_partitioned_by_key(
-    df: DataFrame, path: str, key_col: str = "conv_id", mode: str = "append"
+    df: DataFrame, path: str, key_col: str = "conv_id", mode: str = "append",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Merge-by-key file sink: all rows of a key land under one partition
     dir (the reference's append-to-same-filename semantics; ordering is by
-    (conv_id, turn_idx) at read time, not arrival time)."""
-    df.write.mode(mode).partitionBy(key_col).parquet(path)
+    (conv_id, turn_idx) at read time, not arrival time).
+
+    ``max_records_per_file`` is the size-rotation analogue
+    (`logpipe-output-file.c:160-205` rotates at a byte threshold): a task
+    rolls to a new file within the partition dir when the cap is hit, so
+    one hot key never produces an unboundedly large single file."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(key_col).parquet(path)
 
 
 def write_date_partitioned(

@@ -96,3 +96,17 @@ def test_render_es_bulk_keyed_no_global_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_write_rotation_max_records(spark, transcripts_df, tmp_path):
+    """Size-rotation analogue: maxRecordsPerFile rolls files within a
+    partition dir (logpipe-output-file.c:160-205 rotates on bytes)."""
+    out = str(tmp_path / "rotate")
+    one = transcripts_df.filter(F.col("conv_id") == "conv00000000").coalesce(1)
+    n = one.count()
+    assert n > 10
+    write_partitioned_by_key(one, out, max_records_per_file=5)
+    pdir = os.path.join(out, "conv_id=conv00000000")
+    files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(files) >= n // 5  # rolled into multiple files
+    assert spark.read.parquet(out).count() == n
