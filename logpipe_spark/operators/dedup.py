@@ -272,9 +272,13 @@ def minhash_lsh_pairs(
     with the estimated Jaccard (matching signature fraction)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, text_col, key_col)
+    # candidate generation shuffles (band, bucket, id) rows only — carrying
+    # the 32-long signature arrays through the join + distinct would move
+    # every signature bands× through two exchanges; they re-attach below,
+    # once per surviving distinct pair (same shape as
+    # similarity.neardup_lsh_multiprobe)
     banded = sigs.select(
         key_col,
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -294,7 +298,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(key_col, "signature", "bb.band", "bb.bucket")
+    ).select(key_col, "bb.band", "bb.bucket")
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -304,18 +308,23 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{key_col}").alias("doc_a"),
             F.col(f"b.{key_col}").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col(key_col).alias("doc_a"), F.col("signature").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col(key_col).alias("doc_b"), F.col("signature").alias("sig_b")),
+        "doc_b",
     )
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
             lambda eq: eq,
         )
-    ) / F.lit(float(len(range(num_hashes))))
-    return cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    ) / F.lit(float(num_hashes))
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------

@@ -124,12 +124,13 @@ def exec_source(
     commands only — for anything unbounded or large, write the command's
     output to files and use ``snapshot_stream`` (the streaming file
     source), which never materializes on the driver."""
-    proc = subprocess.run(argv, capture_output=True, text=True, timeout=300)
-    text = proc.stdout
-    if len(text.encode("utf-8", "ignore")) > max_bytes:
-        text = text[:max_bytes]
-        text = text[: text.rfind("\n") + 1] if "\n" in text else text
-    lines = text.splitlines()
+    proc = subprocess.run(argv, capture_output=True, timeout=300)
+    raw = proc.stdout
+    if len(raw) > max_bytes:
+        raw = raw[:max_bytes]
+        nl = raw.rfind(b"\n")
+        raw = raw[: nl + 1] if nl >= 0 else raw
+    lines = raw.decode("utf-8", "replace").splitlines()
     schema = T.StructType(
         [
             T.StructField("filename", T.StringType()),

@@ -154,3 +154,13 @@ def test_spec_all_files_excluded_commits_empty(spark, transcripts_pdf, rules, tm
     assert lin.agg(F.sum("rows_in")).first()[0] == 0
     with pytest.raises(ValueError):
         read_sinks(spark, out)
+
+
+def test_exec_source_byte_cap_truncates_at_line(spark):
+    """Driver-memory guard: stdout beyond max_bytes is dropped at the last
+    complete line — never a partial line, never unbounded driver memory."""
+    df = exec_source(
+        spark, ["printf", "aaaa\\nbbbb\\ncccc\\n"], name="capped", max_bytes=12
+    )
+    rows = df.orderBy("line_no").collect()
+    assert [r["text"] for r in rows] == ["aaaa", "bbbb"]
