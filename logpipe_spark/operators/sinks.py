@@ -101,17 +101,27 @@ def fan_out_write(
     sink_col: str = "sink",
     mode: str = "overwrite",
     extra_partition_cols: list[str] | None = None,
+    shuffle_partitions: int | None = None,
+    salt_on: str = "turn_idx",
+    salt_buckets: int = 8,
 ) -> None:
     """Single-pass dynamic-partitioned fan-out: every routed row lands in
     ``out_dir/sink=<name>/``. Dropped (NULL-sink) rows are filtered here —
-    after lineage counted them."""
+    after lineage counted them.
+
+    ``shuffle_partitions``: pre-write shuffle keyed by **(sink, salt)** —
+    each write task then holds exactly one sink, so the job emits
+    ~shuffle_partitions files instead of (tasks × sinks) (3× fewer here;
+    at cluster scale that is the object-store metadata bill), while the
+    salt still spreads a hot sink over ``salt_buckets`` tasks instead of
+    one straggler. Without it the write inherits upstream partitioning
+    (fine when the input is already well-split and sinks are few)."""
     parts = [sink_col] + (extra_partition_cols or [])
-    (
-        routed_df.filter(F.col(sink_col).isNotNull())
-        .write.mode(mode)
-        .partitionBy(*parts)
-        .parquet(out_dir)
-    )
+    df = routed_df.filter(F.col(sink_col).isNotNull())
+    if shuffle_partitions:
+        salt = F.pmod(F.hash(F.col(salt_on)), F.lit(salt_buckets))
+        df = df.repartition(shuffle_partitions, F.col(sink_col), salt)
+    df.write.mode(mode).partitionBy(*parts).parquet(out_dir)
 
 
 def sink_counts(routed_df: DataFrame, sink_col: str = "sink") -> DataFrame:

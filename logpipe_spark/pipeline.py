@@ -117,9 +117,16 @@ def run_pipeline(
                 F.sum(F.col("sink").isNull().cast("long")), F.lit(0)
             ).alias("dropped"),
         )
-        if salt_partitions:
-            routed = repartition_salted(routed, salt_partitions)
-        fan_out_write(routed, os.path.join(data_root, f"snapshot={snap}"))
+        # the write-side shuffle keys by (sink, salt) — one sink per task,
+        # hot sinks spread over salt_buckets tasks, ~salt_partitions output
+        # files instead of tasks×sinks (repartition_salted by conv_id
+        # remains the right key when a downstream consumer, not the file
+        # layout, needs co-located conversations)
+        fan_out_write(
+            routed,
+            os.path.join(data_root, f"snapshot={snap}"),
+            shuffle_partitions=salt_partitions,
+        )
 
         m = obs.get
         lineage = spark.createDataFrame(
