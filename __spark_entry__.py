@@ -769,9 +769,12 @@ def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
         _minhash_sig_cte(num_hashes)
         + f"""
         , banded AS (
-          SELECT doc_id, sig, b,
+          -- only docs with >= 1 shingle (sigagg rows): identity-signature
+          -- docs must not band-collide (mirrors the Spark-side filter)
+          SELECT sig.doc_id, sig.sig, b,
                  sig[b * {rows} + 1 : b * {rows} + {rows}] AS bandkey
-          FROM sig, (SELECT unnest(range(0, {bands})) AS b)
+          FROM sig JOIN sigagg USING (doc_id),
+               (SELECT unnest(range(0, {bands})) AS b)
         ), cand AS (
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                  x.sig AS sa, y.sig AS sb

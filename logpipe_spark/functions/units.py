@@ -52,7 +52,10 @@ def _parse(value, factors: dict[str, int], what: str) -> int:
             f"unknown {what} unit {m.group(2)!r} in {value!r} "
             f"(expected one of {sorted(u for u in factors if u)})"
         )
-    return int(num * factors[unit])
+    try:
+        return int(num * factors[unit])
+    except (OverflowError, ValueError) as e:  # e.g. "9e999" → float inf
+        raise ValueError(f"{what} value out of range: {value!r}") from e
 
 
 def parse_size_bytes(value) -> int:

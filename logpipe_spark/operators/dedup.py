@@ -227,20 +227,23 @@ def minhash_signatures(
     a_lit = F.array(*[F.lit(x).cast("long") for x in a])
     b_lit = F.array(*[F.lit(x).cast("long") for x in b])
     idx = F.sequence(F.lit(1), F.lit(num_hashes))
+    # md5 once per shingle in the OUTER transform — Spark does not hoist
+    # loop-invariant expressions out of HOF lambdas, so putting
+    # base_hash60(s) inside the per-i lambda would evaluate the crypto
+    # hash num_hashes times per shingle; the fold then mixes integers only
+    base_hashes = F.transform(
+        _shingles(F.col(text_col), n), lambda s: base_hash60(s) % p
+    )
     sig = F.aggregate(
-        _shingles(F.col(text_col), n),
+        base_hashes,
         F.array_repeat(p, num_hashes),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 idx,
-                lambda i: (
-                    F.element_at(a_lit, i) * (base_hash60(s) % p)
-                    + F.element_at(b_lit, i)
-                )
-                % p,
+                lambda i: (F.element_at(a_lit, i) * h + F.element_at(b_lit, i)) % p,
             ),
-            lambda cur, h: F.least(cur, h),
+            lambda cur, m: F.least(cur, m),
         ),
     )
     return docs.select(F.col(key_col), sig.alias("signature"))
@@ -271,6 +274,15 @@ def minhash_lsh_pairs(
     64-bit rehash would only save a few shuffle bytes). Returns candidates
     with the estimated Jaccard (matching signature fraction)."""
     rows = num_hashes // bands
+    # docs with < n tokens would carry the identity signature [p, p, ...]:
+    # they have no shingles to be similar BY, yet every one of them would
+    # collide with every other in EVERY band — k such docs fabricate
+    # k(k-1)/2 est_jaccard=1.0 pairs for unrelated content AND pile onto
+    # one hot shuffle key. The exact Jaccard path emits nothing for them;
+    # this path must not either. Filter on the cheap raw-text condition
+    # BEFORE signature compute (an array-inequality filter on the
+    # signature column costs a full re-evaluation of the hash fold).
+    docs = docs.filter(F.size(_tokens(F.col(text_col))) >= n)
     sigs = minhash_signatures(docs, num_hashes, n, text_col, key_col)
     # candidate generation shuffles (band, bucket, id) rows only — carrying
     # the 32-long signature arrays through the join + distinct would move

@@ -13,8 +13,9 @@ Reference semantics being re-expressed:
 - HDFS day-dir naming (`logpipe-output-hdfs.c:195-213`) → partition columns;
   date partitioning is a one-liner for callers that want it.
 - offset/line bookkeeping (`logpipe-input-file.c:1901-1925`) → the lineage
-  metrics table: (run_id, snapshot_id, partition_id, rows_in, parsed,
-  routed, dropped) per input partition, computed in the same pass.
+  table (LINEAGE_DDL): whole-snapshot conservation counters collected by an
+  observe() listener ON the write action itself (see pipeline.run_pipeline)
+  — zero extra passes, partition_id = -1 sentinel.
 
 Scale notes: ``fan_out_write`` is ONE job: scan → (optional salted
 repartition) → dynamic-partitioned write. At 10^12 rows the thing to avoid
@@ -27,16 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-LINEAGE_SCHEMA_COLS = [
-    "run_id",
-    "snapshot_id",
-    "partition_id",
-    "rows_in",
-    "parsed",
-    "routed",
-    "dropped",
-]
 
 # batch pipeline lineage rows (observe()-collected whole-snapshot counters;
 # partition_id = -1 means "all partitions of this snapshot")
@@ -63,38 +54,6 @@ def repartition_salted(
     return df.repartition(num_partitions, F.col(key), salt)
 
 
-def lineage_metrics(
-    routed_df: DataFrame,
-    run_id: str,
-    snapshot_id: int,
-    parsed_col: str = "n_fields",
-    sink_col: str = "sink",
-) -> DataFrame:
-    """Per-input-partition conservation counters, one aggregation pass.
-
-    Conservation law checked by tests: sum(routed) + sum(dropped) ==
-    sum(rows_in) (FIXTURES.md §4). `parsed` counts rows where extraction
-    produced anything (non-null parse marker)."""
-    return (
-        routed_df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count(F.lit(1)).alias("rows_in"),
-            F.count(F.col(parsed_col)).alias("parsed"),
-            F.count(F.col(sink_col)).alias("routed"),
-            F.sum(F.col(sink_col).isNull().cast("long")).alias("dropped"),
-        )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
-            F.col("partition_id").cast("int"),
-            "rows_in",
-            "parsed",
-            "routed",
-            "dropped",
-        )
-    )
-
-
 def fan_out_write(
     routed_df: DataFrame,
     out_dir: str,
@@ -109,13 +68,15 @@ def fan_out_write(
     ``out_dir/sink=<name>/``. Dropped (NULL-sink) rows are filtered here —
     after lineage counted them.
 
-    ``shuffle_partitions``: pre-write shuffle keyed by **(sink, salt)** —
-    each write task then holds exactly one sink, so the job emits
-    ~shuffle_partitions files instead of (tasks × sinks) (3× fewer here;
-    at cluster scale that is the object-store metadata bill), while the
-    salt still spreads a hot sink over ``salt_buckets`` tasks instead of
-    one straggler. Without it the write inherits upstream partitioning
-    (fine when the input is already well-split and sinks are few)."""
+    ``shuffle_partitions``: pre-write shuffle keyed by **(sink, salt)**.
+    The shuffle has only sinks × salt_buckets distinct keys, so the file
+    count is bounded by ~sinks × salt_buckets regardless of task count
+    (hash collisions can merge two key-groups into one task, which the
+    writer re-splits per sink — the bound still holds), instead of
+    tasks × sinks when the shuffle is keyed by a high-cardinality column.
+    The salt spreads a hot sink over ``salt_buckets`` tasks instead of one
+    straggler. Without it the write inherits upstream partitioning (fine
+    when the input is already well-split and sinks are few)."""
     parts = [sink_col] + (extra_partition_cols or [])
     df = routed_df.filter(F.col(sink_col).isNotNull())
     if shuffle_partitions:

@@ -96,6 +96,22 @@ def render_es_bulk(
     rendered = template_nsub(doc_template, key_col, fields)
     order = F.col(order_col) if order_col else key_col
     if batch_mode == "keyed":
+        # keyed batching divides the order key — it must be numeric. Fail
+        # at plan-build time with a usable message instead of an ANSI
+        # runtime cast error (or, with ANSI off, one silent NULL mega-batch)
+        if order_col is None:
+            raise ValueError(
+                "batch_mode='keyed' needs a numeric order_col "
+                "(batch_id = floor(order_col / batch_rows)); pass order_col, "
+                "or batch_mode='rank' for arbitrary comparable keys"
+            )
+        dtype = dict(df.dtypes).get(order_col)
+        if dtype not in ("tinyint", "smallint", "int", "bigint", "float", "double") \
+                and not (dtype or "").startswith("decimal"):
+            raise ValueError(
+                f"batch_mode='keyed' order_col {order_col!r} has type "
+                f"{dtype!r}; need a numeric column (or use batch_mode='rank')"
+            )
         batch_id = F.floor(order / batch_rows).cast("long")
     elif batch_mode == "rank":
         w = Window.orderBy(order)

@@ -25,11 +25,7 @@ from logpipe_spark.ledger import SnapshotLedger
 from logpipe_spark.operators.enrich import enrich
 from logpipe_spark.operators.parse import extract_builtin, extract_pandas
 from logpipe_spark.operators.route import route
-from logpipe_spark.operators.sinks import (
-    LINEAGE_DDL,
-    fan_out_write,
-    repartition_salted,
-)
+from logpipe_spark.operators.sinks import LINEAGE_DDL, fan_out_write
 
 
 def build_stage_chain(

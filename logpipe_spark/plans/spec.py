@@ -78,29 +78,57 @@ class PipelineSpec:
         with open(path) as f:
             return cls.from_json(f.read())
 
-    def run(self, spark: SparkSession) -> dict:
+    def _dim(self, spark: SparkSession) -> DataFrame:
         if self.dim_rows:
-            dim = spark.createDataFrame(self.dim_rows)
-        else:
-            from logpipe_spark.fixtures import gen_tool_role_dim
+            return spark.createDataFrame(self.dim_rows)
+        from logpipe_spark.fixtures import gen_tool_role_dim
 
-            dim = spark.createDataFrame(gen_tool_role_dim())
+        return spark.createDataFrame(gen_tool_role_dim())
+
+    def run(self, spark: SparkSession) -> dict:
+        dim = self._dim(spark)
+        conf_key = "spark.sql.files.maxPartitionBytes"
+        prev = spark.conf.get(conf_key) if self.max_partition_bytes else None
         if self.max_partition_bytes:
-            spark.conf.set(
-                "spark.sql.files.maxPartitionBytes", str(self.max_partition_bytes)
+            spark.conf.set(conf_key, str(self.max_partition_bytes))
+        try:
+            return run_pipeline(
+                spark,
+                self.source_dir,
+                self.out_dir,
+                dim,
+                self.rules,
+                run_id=self.run_id,
+                parser=self.parser,
+                salt_partitions=self.salt_partitions,
+                dim_keys=self.dim_keys,
+                include_files=self.files or None,
+                exclude_files=self.exclude_files or None,
             )
-        return run_pipeline(
+        finally:
+            # scan tuning is per-spec, not per-session: restore so one
+            # spec's 1MB split target doesn't leak into every later job
+            if self.max_partition_bytes:
+                spark.conf.set(conf_key, prev)
+
+    def run_streaming(
+        self, spark: SparkSession, available_now: bool = True,
+        timeout_sec: int = 300,
+    ) -> dict:
+        """Streaming flavor of the same spec — this is what consumes
+        ``poll_interval`` (the reference's usleep tail-poll period): with
+        ``available_now=False`` the query triggers every poll interval."""
+        from logpipe_spark.streaming.stream import run_stream
+
+        return run_stream(
             spark,
             self.source_dir,
             self.out_dir,
-            dim,
+            self._dim(spark),
             self.rules,
-            run_id=self.run_id,
-            parser=self.parser,
-            salt_partitions=self.salt_partitions,
-            dim_keys=self.dim_keys,
-            include_files=self.files or None,
-            exclude_files=self.exclude_files or None,
+            available_now=available_now,
+            timeout_sec=timeout_sec,
+            trigger_interval_us=self.poll_interval_us,
         )
 
 

@@ -119,13 +119,30 @@ def exec_source(
     """Run a command, ingest its stdout lines as (filename, line_no, text) —
     input-exec's popen loop done once, driver-side, then distributed.
 
-    Driver-memory guard is BYTE-based (default 64 MB): stdout beyond the
-    cap is truncated at the last complete line. This source is for bounded
-    commands only — for anything unbounded or large, write the command's
-    output to files and use ``snapshot_stream`` (the streaming file
-    source), which never materializes on the driver."""
-    proc = subprocess.run(argv, capture_output=True, timeout=300)
-    raw = proc.stdout
+    Driver-memory guard is BYTE-based (default 64 MB) and actually bounds
+    driver memory: stdout is read incrementally from the pipe and the
+    process is killed the moment the cap is crossed, so a command emitting
+    10 GB never materializes 10 GB on the driver (``subprocess.run`` with
+    capture_output would). Truncation lands on the last complete line.
+    This source is for bounded commands only — for anything unbounded or
+    large, write the command's output to files and use ``snapshot_stream``
+    (the streaming file source), which never touches the driver."""
+    proc = subprocess.Popen(argv, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    chunks: list[bytes] = []
+    got = 0
+    try:
+        assert proc.stdout is not None
+        while got <= max_bytes:  # read one byte past the cap to detect overflow
+            chunk = proc.stdout.read(min(1 << 20, max_bytes + 1 - got))
+            if not chunk:
+                break
+            chunks.append(chunk)
+            got += len(chunk)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait(timeout=30)
+    raw = b"".join(chunks)
     if len(raw) > max_bytes:
         raw = raw[:max_bytes]
         nl = raw.rfind(b"\n")

@@ -92,3 +92,25 @@ def test_deterministic_across_runs(docs):
     m1 = sorted(minhash_lsh_pairs(docs).collect())
     m2 = sorted(minhash_lsh_pairs(docs).collect())
     assert m1 == m2
+
+
+def test_minhash_lsh_short_docs_never_pair(spark):
+    """Docs with < n tokens all carry the identity signature — they must
+    NOT band-collide into fabricated est_jaccard=1.0 pairs (and must not
+    form one hot shuffle key)."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(8),
+            "text": ["hi", "ok", "no", "yes sir", "",  # all < 3 tokens
+                     "the quick brown fox jumps over the lazy dog",
+                     "the quick brown fox jumps over the lazy dog",
+                     "completely different content about spark shuffles here"],
+        })
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=32, bands=8).collect()
+    }
+    assert pairs == {(5, 6)}  # only the true exact dup pair

@@ -164,3 +164,43 @@ def test_exec_source_byte_cap_truncates_at_line(spark):
     )
     rows = df.orderBy("line_no").collect()
     assert [r["text"] for r in rows] == ["aaaa", "bbbb"]
+
+
+def test_spec_conf_restore(spark, transcripts_pdf, rules, tmp_path):
+    """max_partition_bytes is per-spec scan tuning: the session conf must
+    be restored after run(), not leaked into later jobs."""
+    src = str(tmp_path / "src")
+    write_snapshots(transcripts_pdf, src, n_snapshots=1)
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    PipelineSpec.from_json(json.dumps({
+        "source_dir": src, "out_dir": str(tmp_path / "out"), "rules": rules,
+        "max_partition_bytes": "1MB",
+    })).run(spark)
+    assert spark.conf.get(key) == before
+
+
+def test_spec_run_streaming_consumes_poll_interval(spark, transcripts_pdf, rules, tmp_path):
+    """poll_interval is wired: run_streaming passes it as the processing
+    trigger (available_now=False) and the stream drains the source."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_snapshots(transcripts_pdf, src, n_snapshots=2)
+    spec = PipelineSpec.from_json(json.dumps({
+        "source_dir": src, "out_dir": out, "rules": rules,
+        "poll_interval": "200ms",
+    }))
+    res = spec.run_streaming(spark, available_now=False, timeout_sec=25)
+    assert res["batches"] >= 1
+    from logpipe_spark.streaming.stream import read_stream_sinks
+    assert read_stream_sinks(spark, out).count() > 0
+
+
+def test_units_overflow_is_value_error():
+    from logpipe_spark.functions.units import parse_duration_us, parse_size_bytes
+
+    for bad in ("9e999", "1e400"):
+        with pytest.raises(ValueError, match="out of range"):
+            parse_size_bytes(bad)
+        with pytest.raises(ValueError, match="out of range"):
+            parse_duration_us(bad + "us")

@@ -110,3 +110,17 @@ def test_write_rotation_max_records(spark, transcripts_df, tmp_path):
     files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
     assert len(files) >= n // 5  # rolled into multiple files
     assert spark.read.parquet(out).count() == n
+
+
+def test_render_es_bulk_keyed_rejects_non_numeric_order(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a", "b"], "text": ["spark x", "spark y"]})
+    )
+    with pytest.raises(ValueError, match="numeric order_col"):
+        render_es_bulk(docs, '{"k":$0}', F.col("conv_id"), grep="spark")
+    with pytest.raises(ValueError, match="numeric column"):
+        render_es_bulk(
+            docs, '{"k":$0}', F.col("conv_id"), grep="spark", order_col="conv_id"
+        )
