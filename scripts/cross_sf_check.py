@@ -10,10 +10,13 @@ values (same normalization as tests/test_entry_contract.py).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
