@@ -546,6 +546,44 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_buckets(docs.repartition(spark.sparkContext.defaultParallelism))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: bucket equi-join candidates + exact hamming
+    verify (operators/dedup.py:simhash_neardup_pairs)."""
+    from logpipe_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs.repartition(spark.sparkContext.defaultParallelism), max_hamming=3
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """§2.5 multi-join plan: customer ⋈ orders ⋈ lineitem (TPC-H Q3 shape)
+    — shipping-priority top-10 in integer cents. Exercises Catalyst join
+    planning across three tables (both joins broadcastable at this scale;
+    shuffle hash at 100 TB with the dimension side still broadcast)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "2025-06-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "2024-03-15")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev.cast("long")).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
@@ -651,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "tpch_q3": q_tpch_q3,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
@@ -790,7 +830,7 @@ def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
     )
 
 
-def _simhash_sql(bucket_bits: int = 16) -> str:
+def _simhash_cte(bucket_bits: int = 16) -> str:
     """DuckDB mirror of operators/dedup._simhash64: per-token 64-bit hash =
     first 8 bytes of md5 big-endian (== first 16 hex chars as UBIGINT),
     per-bit majority vote over all tokens (duplicates included), signed
@@ -823,13 +863,44 @@ def _simhash_sql(bucket_bits: int = 16) -> str:
                                ELSE 0 END) AS BIGINT) AS bucket
           FROM bits GROUP BY doc_id
         )
+    """
+
+
+def _simhash_sql(bucket_bits: int = 16) -> str:
+    return (
+        _simhash_cte(bucket_bits)
+        + """
         SELECT d.doc_id,
                CASE WHEN d.text IS NULL THEN NULL
                     ELSE coalesce(v.simhash, 0) END AS simhash,
                CASE WHEN d.text IS NULL THEN NULL
                     ELSE coalesce(v.bucket, 0) END AS bucket
         FROM documents d LEFT JOIN vals v USING (doc_id)
-    """
+        """
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bucket_bits: int = 16) -> str:
+    """Pairs = same top-bits bucket AND xor-popcount ≤ max_hamming; docs
+    with NULL text carry NULL sketches on the Spark side (never join), so
+    they are excluded here; empty/short non-NULL docs sketch to 0 on both
+    sides and may legitimately pair (identical text)."""
+    return (
+        _simhash_cte(bucket_bits)
+        + f"""
+        , sk AS (
+          SELECT d.doc_id, coalesce(v.simhash, 0) AS simhash,
+                 coalesce(v.bucket, 0) AS bucket
+          FROM documents d LEFT JOIN vals v USING (doc_id)
+          WHERE d.text IS NOT NULL
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sk a JOIN sk b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """
+    )
 
 
 def _langid_quality_sql() -> str:
@@ -1188,4 +1259,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "dedup_simhash": _simhash_sql(16),
+        "dedup_simhash_pairs": _simhash_pairs_sql(3, 16),
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '2025-06-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '2024-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+        """,
     }

@@ -382,3 +382,34 @@ def simhash_buckets(
 def hamming64(a: Column, b: Column) -> Column:
     """Popcount of XOR — bit_count is native in Spark 3.5+/4.x."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via SimHash: candidates collide in the top-bits
+    bucket (equi-join — the quadratic term is bounded per bucket), then
+    verified with exact hamming distance ≤ ``max_hamming``.
+
+    Shuffle key is the bucket (id + sketch are 16 bytes/row); like all the
+    near-dup paths here, no cartesian anywhere. Note the recall contract:
+    a pair whose sketches differ inside the top ``bucket_bits`` lands in
+    different buckets and is missed — callers trade bucket_bits down (or
+    probe rotated sketches) for recall, exactly the MMDS trade."""
+    sk = simhash_buckets(docs, text_col, key_col, bucket_bits)
+    a = sk.alias("a")
+    b = sk.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
