@@ -584,6 +584,32 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_windowed_agg(spark, sf_dir):
+    """§2.5 streaming-family operator, batch-parity-checked: tumbling
+    10-minute event-time windows (F.window — the same expression the
+    watermarked streaming path uses in streaming/windowed.py; Spark's
+    unified semantics make the batch result the no-late-data stream
+    result, which is what a SQL oracle can check)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "10 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
@@ -676,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_persink": q_agg_persink,
         "window_topk": q_window_topk,
         "sessionize": q_sessionize,
+        "windowed_agg": q_windowed_agg,
         "grep_filter": q_grep_filter,
         "tokenize_fields": q_tokenize_fields,
         "template_project": q_template_project,
@@ -1002,6 +1029,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "windowed_agg": """
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   strftime(time_bucket(INTERVAL '10 minutes', ts)
+                            + INTERVAL '10 minutes',
+                            '%Y-%m-%d %H:%M:%S') AS win_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events GROUP BY 1, 2, 3
         """,
         "grep_filter": """
             SELECT lang, COUNT(*) AS n_docs FROM documents

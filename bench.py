@@ -192,7 +192,7 @@ def main() -> None:
     bench_queries = [
         "parse_extract", "route_fanout", "enrich_broadcast", "agg_persink",
         "window_topk", "sessionize", "doc_route", "dedup_fingerprint",
-        "dedup_minhash", "minhash_lsh_pairs", "ann_cosine_topk",
+        "dedup_minhash", "minhash_lsh_pairs", "ann_cosine_topk", "tpch_q3",
         "embedding_neardup_lsh", "es_bulk_render", "multimodal_features",
         "text_quality",
     ]

@@ -76,3 +76,37 @@ def test_stream_lineage_conservation(spark, stream_env, golden, transcripts_pdf)
     assert agg["rows_in"] >= len(transcripts_pdf)
     assert agg["routed"] + agg["dropped"] == agg["rows_in"]
     assert agg["dropped"] >= golden["dropped"]
+
+
+def test_windowed_watermark_stream(spark, transcripts_pdf, tmp_path):
+    """Watermarked tumbling-window aggregation in append mode: every
+    emitted (finalized) window row equals the batch-mode result for that
+    window exactly — Spark's unified semantics, checked end to end through
+    a real streaming query with checkpoint."""
+    from logpipe_spark.streaming.windowed import (
+        run_windowed_stream,
+        windowed_turn_counts,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_snapshots(transcripts_pdf, src, n_snapshots=2)
+
+    n = run_windowed_stream(spark, src, out, window_minutes=10,
+                            watermark_minutes=30, timeout_sec=120)
+    assert n > 0  # at least the old windows finalized and emitted
+
+    got = {
+        (r["win_start"], r["win_end"], r["role"]): (r["n_turns"], r["chars"])
+        for r in spark.read.parquet(os.path.join(out, "data")).collect()
+    }
+    batch = spark.read.option("basePath", src).parquet(src)
+    exp = {
+        (r["win_start"], r["win_end"], r["role"]): (r["n_turns"], r["chars"])
+        for r in windowed_turn_counts(batch).collect()
+    }
+    # append mode withholds windows still inside the watermark: emitted ⊆
+    # batch, and every emitted window's values are exact
+    assert set(got) <= set(exp)
+    for k, v in got.items():
+        assert v == exp[k], k
