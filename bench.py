@@ -7,8 +7,9 @@ deterministic synthetic transcript table sized to the scale factor
 operator queries on the driver-provided parquet at $SPARK_GRAFT_SF_DIR.
 
 Scaling evidence (north rule: ≥0.8 efficiency from N to 4N parallelism):
-the same pipeline is re-run in subprocesses at local[N] and local[4N] on
-the same input; efficiency = T_N / (4 · T_4N). Skip with
+the same pipeline is re-run in subprocesses at three points
+(local[2] → local[8] → local[32] on a 32-core host), reporting both 4×
+transitions; efficiency i→j = T_i / ((j/i) · T_j). Skip with
 SPARK_GRAFT_BENCH_SCALING=0.
 
 Reference baseline being matched: logpipe moves a 112,530,011-byte file in
@@ -174,9 +175,8 @@ def main() -> None:
     shutil.rmtree(wout, ignore_errors=True)
     dim = spark.createDataFrame(gen_tool_role_dim())
     # note: this metric is dominated by per-snapshot fixed cost in local
-    # mode (~7 s/snapshot: two actions over the full chain + persist +
-    # salted shuffle), not by row throughput — salt width and file count
-    # were measured to not move it at this data size
+    # mode (~3 s/snapshot: one observe()-instrumented write action +
+    # (sink,salt) shuffle + local-FS file commits), not by row throughput
     t0 = time.perf_counter()
     run_pipeline(spark, wsrc, wout, dim, default_route_rules(), salt_partitions=CPUS)
     timings["pipeline_fanout_write"] = round(time.perf_counter() - t0, 4)

@@ -114,7 +114,7 @@ def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
 
 def exec_source(
     spark: SparkSession, argv: list[str], name: str = "exec",
-    max_bytes: int = 64 * 1024 * 1024,
+    max_bytes: int = 64 * 1024 * 1024, timeout_sec: float = 300.0,
 ) -> DataFrame:
     """Run a command, ingest its stdout lines as (filename, line_no, text) —
     input-exec's popen loop done once, driver-side, then distributed.
@@ -127,7 +127,14 @@ def exec_source(
     This source is for bounded commands only — for anything unbounded or
     large, write the command's output to files and use ``snapshot_stream``
     (the streaming file source), which never touches the driver."""
+    import threading
+
     proc = subprocess.Popen(argv, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    # hang guard: a command that stops producing but never exits would
+    # block the pipe read forever — the watchdog kills it at the deadline
+    # (read then returns b"" and the partial output is kept)
+    watchdog = threading.Timer(timeout_sec, proc.kill)
+    watchdog.start()
     chunks: list[bytes] = []
     got = 0
     try:
@@ -139,6 +146,7 @@ def exec_source(
             chunks.append(chunk)
             got += len(chunk)
     finally:
+        watchdog.cancel()
         if proc.poll() is None:
             proc.kill()
         proc.wait(timeout=30)
