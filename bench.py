@@ -106,26 +106,36 @@ def scaling_worker(cores: int, src_path: str) -> None:
     spark = get_spark(cores=cores, app_name=f"bench_scaling_{cores}",
                       shuffle_partitions=cores)
     run_flagship(spark, src_path)  # warmup (JIT + parquet footer cache)
-    # best-of-N: the sandbox is a shared host with double-digit run-to-run
-    # variance at high thread counts; min is the least-interfered estimate
-    reps = 2 if cores <= 2 else 5
+    # best-of-N within the visit; the cross-visit min in measure_scaling
+    # handles slower host-speed drift
+    reps = 1 if cores <= 2 else 3
     best = min(run_flagship(spark, src_path) for _ in range(reps))
     print(json.dumps({"cores": cores, "sec": best}))
     spark.stop()
 
 
-def measure_scaling(src_path: str, points: tuple[int, ...]) -> dict:
+def measure_scaling(src_path: str, points: tuple[int, ...], rounds: int = 2) -> dict:
     """Same job at each parallelism level in its own JVM; efficiency between
-    consecutive points i→j = T_i / ((j/i) · T_j)."""
-    secs = {}
-    for cores in points:
-        r = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker", str(cores), src_path],
-            capture_output=True, text=True, timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        secs[cores] = json.loads(line)["sec"]
+    consecutive points i→j = T_i / ((j/i) · T_j).
+
+    The points are visited in ``rounds`` interleaved passes (2,8,32,2,8,32)
+    and each point takes its cross-visit minimum: on this shared host the
+    effective per-core speed drifts on a minutes timescale (neighbor load,
+    active-core turbo), and measuring the points back-to-back bakes that
+    drift into the ratio — a single sequential pass swung the 8→32
+    efficiency 0.75-0.94 between bench runs; interleaving samples every
+    point under both fast and slow host phases."""
+    secs: dict[int, float] = {}
+    for _ in range(rounds):
+        for cores in points:
+            r = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", str(cores), src_path],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+            sec = json.loads(line)["sec"]
+            secs[cores] = min(secs.get(cores, float("inf")), sec)
     out: dict = {f"sec_local[{c}]": round(s, 3) for c, s in secs.items()}
     for a, b in zip(points, points[1:]):
         out[f"efficiency_{a}to{b}"] = round(secs[a] / ((b / a) * secs[b]), 3)
@@ -139,17 +149,19 @@ def main() -> None:
     from logpipe_spark.session import get_spark
 
     sf = _sf_name()
-    # 4× pandas-generated seed, replicated 20× by Spark (48M turns at
+    # 4× pandas-generated seed, replicated 40× by Spark (96M turns at
     # sf0.1) so the N vs 4N scaling comparison measures compute, not
-    # scheduler fixed overhead: the small-parallelism point needs ≥30 s of
-    # work for efficiency = T_N/(4·T_4N) to be stable on this shared host
+    # scheduler fixed overhead or shared-host noise: EVERY point needs
+    # enough work that neighbor load can't swing the ratio — at 48M the
+    # 32-core point ran ~9 s and efficiency swung 0.78-0.94 run to run;
+    # at ~19 s it stabilizes (the 2-core point carries ~180 s)
     seed_turns = 4 * SF_TURNS.get(sf, 600_000)
     seed_path = _bench_table(seed_turns, n_files=32)
 
     spark = get_spark(cores=CPUS, app_name="logpipe_bench",
                       shuffle_partitions=CPUS)
-    n_turns = 20 * seed_turns
-    src_path = _replicated_table(spark, seed_path, 20, f"transcripts_big256_{n_turns}")
+    n_turns = 40 * seed_turns
+    src_path = _replicated_table(spark, seed_path, 40, f"transcripts_big256_{n_turns}")
 
     timings: dict[str, float] = {}
 
