@@ -56,8 +56,16 @@ def run_pipeline(
     dim_keys: list[str] | None = None,
     include_files: list[str] | None = None,
     exclude_files: list[str] | None = None,
+    min_input_partitions: int | None = 0,
 ) -> dict:
     """Process every pending snapshot under ``src_dir`` exactly once.
+
+    ``min_input_partitions``: under-split sources (a snapshot that is one
+    parquet file with one row group is ONE scan task — the whole
+    parse→route stage runs single-threaded no matter how many cores) are
+    repartitioned up to this many partitions before parsing. Default 0 →
+    the session's default parallelism. Pass None to disable. Well-split
+    sources are never touched, so at scale this is a free plan check.
 
     ``include_files`` / ``exclude_files``: source-level basename glob
     filters (the reference's files../exclude_files.. walk) — pruned from
@@ -94,6 +102,11 @@ def run_pipeline(
             df = spark.read.parquet(*paths)
         else:
             df = spark.read.parquet(snap_dir)
+        if min_input_partitions is not None:
+            target = min_input_partitions or spark.sparkContext.defaultParallelism
+            # getNumPartitions reads the plan, not the data — no job runs
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
         routed = build_stage_chain(df, dim, rules, parser=parser, dim_keys=dim_keys)
 
         # ONE action per snapshot: conservation counters ride the write via
