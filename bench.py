@@ -63,12 +63,12 @@ def _replicated_table(spark, seed_path: str, factor: int, out_name: str) -> str:
             .withColumn("conv_id", F.concat_ws("_", "conv_id", "_rep"))
             .drop("_rep")
         )
-        # 256 splits: 8 task waves at 32 cores / 32 at 8 — fine enough that
-        # wave-tail stragglers stop dominating the 8→32 comparison (with 64
-        # splits the 32-core run is 2 uneven waves and efficiency swings
-        # 0.57-1.05 run to run; at 256, with ≥30 s of work at the small
-        # point, it holds 0.94-1.01)
-        big.repartition(256).write.mode("overwrite").parquet(path)
+        # 384 splits: 12 task waves at 32 cores / 48 at 8 — fine enough
+        # that the last-wave straggler tail is ~4% of the 32-core run (at
+        # 64 splits = 2 uneven waves, efficiency swung 0.57-1.05 run to
+        # run), while tasks stay big enough (~250k rows) that scheduling
+        # overhead doesn't tax the 2-core point
+        big.repartition(384).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -161,7 +161,7 @@ def main() -> None:
     spark = get_spark(cores=CPUS, app_name="logpipe_bench",
                       shuffle_partitions=CPUS)
     n_turns = 40 * seed_turns
-    src_path = _replicated_table(spark, seed_path, 40, f"transcripts_big256_{n_turns}")
+    src_path = _replicated_table(spark, seed_path, 40, f"transcripts_big384_{n_turns}")
 
     timings: dict[str, float] = {}
 

@@ -66,7 +66,14 @@ def _guarded(text: Column, prefix: str, pat: str, group: int) -> Column:
 
 def n_fields_col(text: Column) -> Column:
     """Count of non-empty space-separated tokens — separator runs collapse,
-    matching `logpipe-output-es.c:642-661`. Higher-order fn, stays JVM-side."""
+    matching `logpipe-output-es.c:642-661`. Higher-order fn, stays JVM-side.
+
+    Measured note: `regexp_count(text, '[^ ]+')` is 1.6× faster than this
+    split/filter/size in ISOLATION (no token-array allocation), but 20%
+    slower inside the full parse→route chain (interleaved A/B at 96M rows,
+    local[32]) — the chain already runs several regexes over `text` and
+    the extra regex-engine pass costs more than the avoided allocation.
+    Keep the split form; re-measure in context before "optimizing" this."""
     return F.size(F.filter(F.split(text, " "), lambda x: x != F.lit(""))).cast("int")
 
 
