@@ -563,8 +563,8 @@ def q_tpch_q3(spark, sf_dir):
     planning across three tables (both joins broadcastable at this scale;
     shuffle hash at 100 TB with the dimension side still broadcast)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "2025-06-15")
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "2024-03-15")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     j = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
@@ -1309,8 +1309,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '2025-06-15 00:00:00'
-              AND l_shipdate > TIMESTAMP '2024-03-15 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
         """,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -344,7 +345,10 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def _simhash64(tokens: list[str]) -> int:
-    """Deterministic 64-bit SimHash (md5-derived token hashes)."""
+    """Deterministic 64-bit SimHash (md5-derived token hashes).
+
+    Reference scalar form, kept as the semantics oracle for the vectorized
+    batch kernel below (tests assert bit-exact agreement)."""
     acc = [0] * 64
     for t in tokens:
         h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
@@ -357,13 +361,50 @@ def _simhash64(tokens: list[str]) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement into int64
 
 
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized SimHash over an Arrow batch: one md5 per token (the only
+    Python-loop work), then numpy does all 64-bit accumulation —
+    ``frombuffer → unpackbits → add.reduceat → packbits`` — instead of the
+    O(tokens × 64) interpreter loop of the scalar form. Bit-exact with
+    ``_simhash64``."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    null_mask = np.zeros(n, dtype=bool)
+    chunks: list[bytes] = []
+    starts: list[int] = []  # digest-row offset of each non-empty doc
+    doc_idx: list[int] = []  # position in `out` for each entry in `starts`
+    pos = 0
+    md5 = hashlib.md5
+    for i, t in enumerate(texts):
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            null_mask[i] = True
+            continue
+        toks = [w for w in t.lower().split(" ") if w]
+        if not toks:
+            continue  # empty doc → sketch 0 (matches scalar form)
+        starts.append(pos)
+        doc_idx.append(i)
+        chunks.extend(md5(w.encode()).digest()[:8] for w in toks)
+        pos += len(toks)
+    if starts:
+        # (N_tokens, 8) bytes, big-endian per digest; reverse bytes so that
+        # byte j holds logical bits 8j..8j+7, then unpack little-bit-order
+        # → column `bit` is exactly `(h >> bit) & 1` of the scalar form.
+        arr = np.frombuffer(b"".join(chunks), dtype=np.uint8).reshape(-1, 8)[:, ::-1]
+        bits = np.unpackbits(arr, axis=1, bitorder="little").astype(np.int32)
+        signed = bits * 2 - 1  # ±1 votes
+        sums = np.add.reduceat(signed, np.asarray(starts), axis=0)
+        majority = sums > 0  # strict >, ties → 0 bit (matches scalar form)
+        packed = np.ascontiguousarray(np.packbits(majority, axis=1, bitorder="little"))
+        out[np.asarray(doc_idx)] = packed.view("<u8").ravel().view(np.int64)
+    res = pd.array(out, dtype="Int64")
+    res[null_mask] = pd.NA  # NULL text → NULL sketch
+    return pd.Series(res)
+
+
 @pandas_udf(T.LongType())
 def _simhash_udf(text: pd.Series) -> pd.Series:
-    out = text.map(
-        lambda t: _simhash64([w for w in t.lower().split(" ") if w]),
-        na_action="ignore",  # NULL text → NULL sketch, don't crash the task
-    )
-    return pd.Series(pd.array(out, dtype="Int64"))
+    return _simhash_batch(text)
 
 
 def simhash_buckets(

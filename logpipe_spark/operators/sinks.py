@@ -29,11 +29,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# batch pipeline lineage rows (observe()-collected whole-snapshot counters;
-# partition_id = -1 means "all partitions of this snapshot")
+# batch pipeline lineage rows. Two granularities in one table:
+#   partition_id = -1  → whole-snapshot conservation counters, collected by
+#                        an observe() listener ON the write action (zero
+#                        extra passes over the source);
+#   partition_id >= 0  → one row per written file (sink + file + routed
+#                        count, derived from the output parquet footers —
+#                        see file_lineage). rows_in/parsed/dropped are NULL
+#                        at this granularity; per-file routed sums equal the
+#                        sentinel row's routed.
 LINEAGE_DDL = (
     "run_id string, snapshot_id long, partition_id int, "
-    "rows_in long, parsed long, routed long, dropped long"
+    "rows_in long, parsed long, routed long, dropped long, "
+    "sink string, file string"
 )
 
 
@@ -61,7 +69,7 @@ def fan_out_write(
     mode: str = "overwrite",
     extra_partition_cols: list[str] | None = None,
     shuffle_partitions: int | None = None,
-    salt_on: str = "turn_idx",
+    salt_on: str | None = None,
     salt_buckets: int = 8,
 ) -> None:
     """Single-pass dynamic-partitioned fan-out: every routed row lands in
@@ -76,13 +84,56 @@ def fan_out_write(
     tasks × sinks when the shuffle is keyed by a high-cardinality column.
     The salt spreads a hot sink over ``salt_buckets`` tasks instead of one
     straggler. Without it the write inherits upstream partitioning (fine
-    when the input is already well-split and sinks are few)."""
+    when the input is already well-split and sinks are few).
+
+    ``salt_on``: column to derive the salt from. Default None auto-picks:
+    ``turn_idx`` when present (the transcript schema's cheap high-card
+    column), else a hash over all columns — so the helper works on any
+    DataFrame, not just transcripts (ADVICE r2)."""
     parts = [sink_col] + (extra_partition_cols or [])
     df = routed_df.filter(F.col(sink_col).isNotNull())
     if shuffle_partitions:
-        salt = F.pmod(F.hash(F.col(salt_on)), F.lit(salt_buckets))
+        if salt_on is None and "turn_idx" in df.columns:
+            salt_on = "turn_idx"
+        salt_src = (
+            F.hash(F.col(salt_on)) if salt_on is not None
+            else F.xxhash64(*[F.col(c) for c in df.columns])
+        )
+        salt = F.pmod(salt_src, F.lit(salt_buckets))
         df = df.repartition(shuffle_partitions, F.col(sink_col), salt)
     df.write.mode(mode).partitionBy(*parts).parquet(out_dir)
+
+
+def file_lineage(spark, data_dir: str, sink_col: str = "sink") -> DataFrame:
+    """Per-file routed-row counts over a just-written snapshot directory —
+    the per-partition lineage granularity (SURVEY.md §2.5's
+    ``groupBy(spark_partition_id())`` requirement, re-derived from the
+    OUTPUT instead of a second pass over the source).
+
+    Cost model: the grouping keys are ``_metadata.file_path`` (file-level
+    constant) and the ``sink`` directory-partition column, so the scan's
+    ReadSchema is EMPTY — Spark's vectorized parquet reader answers the
+    count from row-group metadata without decoding a single data column.
+    A footer-only pass: ~KBs per file, distributed, regardless of data size.
+
+    Returns (partition_id, sink, file, routed) with partition_id a dense
+    0-based index over files (deterministic: ordered by path). The window
+    runs over a file-count-sized table (~sinks × salt_buckets rows after
+    fan_out_write's keyed shuffle), not the data.
+    """
+    from pyspark.sql.window import Window
+
+    df = spark.read.option("basePath", data_dir).parquet(data_dir)
+    per_file = df.groupBy(
+        F.col("_metadata.file_path").alias("file"), F.col(sink_col).alias("sink")
+    ).agg(F.count(F.lit(1)).alias("routed"))
+    w = Window.orderBy("file")
+    return per_file.select(
+        (F.row_number().over(w) - 1).cast("int").alias("partition_id"),
+        "sink",
+        "file",
+        "routed",
+    )
 
 
 def sink_counts(routed_df: DataFrame, sink_col: str = "sink") -> DataFrame:

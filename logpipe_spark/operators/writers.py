@@ -65,7 +65,7 @@ def render_es_bulk(
     min_fields: int | None = None,
     batch_rows: int = 500,
     order_col: str | None = None,
-    batch_mode: str = "keyed",
+    batch_mode: str = "auto",
 ) -> DataFrame:
     """The full ES-output transform chain, producing `/_bulk` POST bodies.
 
@@ -76,9 +76,13 @@ def render_es_bulk(
       interleave (:543-596).
 
     Returns (batch_id, n_docs, payload). Batching here is row-count based
-    (the reference uses a 4 MB byte buffer). Two batch assignments:
+    (the reference uses a 4 MB byte buffer). Batch assignment —
+    ``batch_mode="auto"`` (default) picks ``"keyed"`` when a *numeric*
+    ``order_col`` is supplied (the scale path) and falls back to
+    ``"rank"`` otherwise, so callers that never passed an order column
+    keep working (ADVICE r2) at the documented small-export-only cost:
 
-    - ``"keyed"`` (default, the scale path): batch_id = floor(order_key /
+    - ``"keyed"`` (the scale path): batch_id = floor(order_key /
       batch_rows) — a pure projection, so the only exchange is the hash
       shuffle of the groupBy and batches hold ≤ batch_rows rows (exactly
       batch_rows when the key is dense). A global row_number would funnel
@@ -95,6 +99,14 @@ def render_es_bulk(
         df = df.filter(F.size(fields) >= min_fields)
     rendered = template_nsub(doc_template, key_col, fields)
     order = F.col(order_col) if order_col else key_col
+    _numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if batch_mode == "auto":
+        dtype = dict(df.dtypes).get(order_col) if order_col else None
+        batch_mode = (
+            "keyed"
+            if dtype in _numeric or (dtype or "").startswith("decimal")
+            else "rank"
+        )
     if batch_mode == "keyed":
         # keyed batching divides the order key — it must be numeric. Fail
         # at plan-build time with a usable message instead of an ANSI
@@ -106,8 +118,7 @@ def render_es_bulk(
                 "or batch_mode='rank' for arbitrary comparable keys"
             )
         dtype = dict(df.dtypes).get(order_col)
-        if dtype not in ("tinyint", "smallint", "int", "bigint", "float", "double") \
-                and not (dtype or "").startswith("decimal"):
+        if dtype not in _numeric and not (dtype or "").startswith("decimal"):
             raise ValueError(
                 f"batch_mode='keyed' order_col {order_col!r} has type "
                 f"{dtype!r}; need a numeric column (or use batch_mode='rank')"
@@ -117,7 +128,7 @@ def render_es_bulk(
         w = Window.orderBy(order)
         batch_id = ((F.row_number().over(w) - 1) / batch_rows).cast("long")
     else:
-        raise ValueError(f"unknown batch_mode {batch_mode!r} (keyed|rank)")
+        raise ValueError(f"unknown batch_mode {batch_mode!r} (auto|keyed|rank)")
     batched = df.select(
         rendered.alias("_doc"),
         batch_id.alias("batch_id"),

@@ -25,7 +25,7 @@ from logpipe_spark.ledger import SnapshotLedger
 from logpipe_spark.operators.enrich import enrich
 from logpipe_spark.operators.parse import extract_builtin, extract_pandas
 from logpipe_spark.operators.route import route
-from logpipe_spark.operators.sinks import LINEAGE_DDL, fan_out_write
+from logpipe_spark.operators.sinks import LINEAGE_DDL, fan_out_write, file_lineage
 
 
 def build_stage_chain(
@@ -92,7 +92,7 @@ def run_pipeline(
             paths = select_input_files(snap_dir, include_files, exclude_files)
             if not paths:
                 spark.createDataFrame(
-                    [(run_id, int(snap), -1, 0, 0, 0, 0)], LINEAGE_DDL
+                    [(run_id, int(snap), -1, 0, 0, 0, 0, None, None)], LINEAGE_DDL
                 ).write.mode("overwrite").parquet(
                     os.path.join(lineage_root, f"snapshot={snap}")
                 )
@@ -131,11 +131,8 @@ def run_pipeline(
         # files instead of tasks×sinks (repartition_salted by conv_id
         # remains the right key when a downstream consumer, not the file
         # layout, needs co-located conversations)
-        fan_out_write(
-            routed,
-            os.path.join(data_root, f"snapshot={snap}"),
-            shuffle_partitions=salt_partitions,
-        )
+        snap_data = os.path.join(data_root, f"snapshot={snap}")
+        fan_out_write(routed, snap_data, shuffle_partitions=salt_partitions)
 
         m = obs.get
         lineage = spark.createDataFrame(
@@ -143,10 +140,29 @@ def run_pipeline(
                 (
                     run_id, int(snap), -1,  # -1 = whole-snapshot counters
                     m["rows_in"], m["parsed"], m["routed"], m["dropped"],
+                    None, None,
                 )
             ],
             LINEAGE_DDL,
         )
+        if m["routed"]:
+            # per-partition granularity, re-derived from the written files'
+            # parquet footers (empty ReadSchema — a metadata-only pass, not
+            # a second read of the source). Sum(routed) over these rows
+            # equals the sentinel row's routed total by construction; the
+            # conservation test asserts it.
+            per_file = file_lineage(spark, snap_data).select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(int(snap)).cast("long").alias("snapshot_id"),
+                "partition_id",
+                F.lit(None).cast("long").alias("rows_in"),
+                F.lit(None).cast("long").alias("parsed"),
+                F.col("routed").cast("long").alias("routed"),
+                F.lit(None).cast("long").alias("dropped"),
+                "sink",
+                "file",
+            )
+            lineage = lineage.unionByName(per_file)
         lineage.write.mode("overwrite").parquet(
             os.path.join(lineage_root, f"snapshot={snap}")
         )

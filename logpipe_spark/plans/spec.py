@@ -86,6 +86,12 @@ class PipelineSpec:
         return spark.createDataFrame(gen_tool_role_dim())
 
     def run(self, spark: SparkSession) -> dict:
+        # NOTE (ADVICE r2): maxPartitionBytes is a session-global knob —
+        # set-then-restore assumes ONE spec runs on this session at a time
+        # (the reference's process model: one config file, one pipeline per
+        # process). Concurrent spec runs sharing a session would race on
+        # it; give each runner its own SparkSession (cheap: newSession()
+        # shares the SparkContext but isolates SQL conf) if you need that.
         dim = self._dim(spark)
         conf_key = "spark.sql.files.maxPartitionBytes"
         prev = spark.conf.get(conf_key) if self.max_partition_bytes else None

@@ -41,15 +41,39 @@ def select_input_files(
     IO, the same way the reference never opens them (and the only way the
     filter actually pushes down: an input_file_name() predicate would read
     every row first). Spark-internal sidecars (_SUCCESS, dotfiles, .crc)
-    are never data files and are skipped up front."""
-    names = sorted(
-        n
-        for n in os.listdir(src_dir)
-        if not n.startswith((".", "_"))
-        and os.path.isfile(os.path.join(src_dir, n))
-    )
+    are never data files and are skipped up front.
+
+    Walk contract (matches the reference's single-directory readdir — it
+    never recurses either): ``src_dir`` must be a FLAT local directory of
+    data files. A nested layout raises rather than silently dropping the
+    nested files, and a directory with no data files at all raises rather
+    than returning [] — so an empty return always means "all files
+    filtered out by the globs", which callers may legitimately commit as a
+    zero-row snapshot, never "the walk missed the data"."""
+    data_names: list[str] = []
+    subdirs: list[str] = []
+    for n in sorted(os.listdir(src_dir)):  # missing dir → FileNotFoundError
+        if n.startswith((".", "_")):
+            continue
+        if os.path.isdir(os.path.join(src_dir, n)):
+            subdirs.append(n)
+        else:
+            data_names.append(n)
+    if subdirs:
+        raise ValueError(
+            f"select_input_files: {src_dir} contains subdirectories "
+            f"{subdirs[:5]} — the include/exclude walk is flat (reference "
+            "semantics, logpipe-input-file.c:584-745); point it at the leaf "
+            "directory or read without file globs"
+        )
+    if not data_names:
+        raise FileNotFoundError(
+            f"select_input_files: no data files under {src_dir} (globs were "
+            "never applied) — an empty snapshot directory is a source bug, "
+            "not a filtered-out snapshot"
+        )
     out = []
-    for n in names:
+    for n in data_names:
         if include and not all(is_match(g, n) for g in include):
             continue
         if exclude and any(is_match(g, n) for g in exclude):
@@ -115,6 +139,7 @@ def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
 def exec_source(
     spark: SparkSession, argv: list[str], name: str = "exec",
     max_bytes: int = 64 * 1024 * 1024, timeout_sec: float = 300.0,
+    strict: bool = True,
 ) -> DataFrame:
     """Run a command, ingest its stdout lines as (filename, line_no, text) —
     input-exec's popen loop done once, driver-side, then distributed.
@@ -126,14 +151,28 @@ def exec_source(
     capture_output would). Truncation lands on the last complete line.
     This source is for bounded commands only — for anything unbounded or
     large, write the command's output to files and use ``snapshot_stream``
-    (the streaming file source), which never touches the driver."""
+    (the streaming file source), which never touches the driver.
+
+    Failure surface (``strict=True``, the default): a watchdog
+    timeout-kill or a non-zero exit raises RuntimeError instead of
+    silently ingesting a partial/failed run. Byte-cap truncation is the
+    *designed* bound and always keeps the partial output (the process is
+    killed by us, so its exit status is not consulted). ``strict=False``
+    keeps whatever arrived, matching the reference's best-effort popen
+    reader (`logpipe-input-exec.c:94-200`)."""
     import threading
 
     proc = subprocess.Popen(argv, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
     # hang guard: a command that stops producing but never exits would
     # block the pipe read forever — the watchdog kills it at the deadline
     # (read then returns b"" and the partial output is kept)
-    watchdog = threading.Timer(timeout_sec, proc.kill)
+    timed_out = threading.Event()
+
+    def _watchdog_fire():
+        timed_out.set()
+        proc.kill()
+
+    watchdog = threading.Timer(timeout_sec, _watchdog_fire)
     watchdog.start()
     chunks: list[bytes] = []
     got = 0
@@ -147,9 +186,28 @@ def exec_source(
             got += len(chunk)
     finally:
         watchdog.cancel()
+        # truncated-by-cap is detected by the loop condition, not poll()
+        # (a cleanly-finished child can race poll() between stdout EOF and
+        # exit — that must still have its returncode checked)
+        killed_for_cap = got > max_bytes and not timed_out.is_set()
         if proc.poll() is None:
             proc.kill()
-        proc.wait(timeout=30)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:  # kill delivered but not reaped yet
+            proc.kill()
+            proc.wait(timeout=5)
+    if strict:
+        if timed_out.is_set():
+            raise RuntimeError(
+                f"exec_source: {argv[0]} killed after {timeout_sec}s timeout "
+                f"({got} bytes read) — partial output discarded (strict=True)"
+            )
+        if not killed_for_cap and proc.returncode != 0:
+            raise RuntimeError(
+                f"exec_source: {argv[0]} exited {proc.returncode} — output "
+                "discarded (strict=True); pass strict=False for best-effort"
+            )
     raw = b"".join(chunks)
     if len(raw) > max_bytes:
         raw = raw[:max_bytes]

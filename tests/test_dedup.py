@@ -114,3 +114,42 @@ def test_minhash_lsh_short_docs_never_pair(spark):
         for r in minhash_lsh_pairs(docs, num_hashes=32, bands=8).collect()
     }
     assert pairs == {(5, 6)}  # only the true exact dup pair
+
+
+def test_simhash_batch_bitexact_vs_scalar():
+    """The numpy batch kernel must agree bit-for-bit with the scalar
+    reference form — incl. NULLs, empties, unicode, and tie votes."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from logpipe_spark.operators.dedup import _simhash64, _simhash_batch
+
+    fixed = [
+        None,
+        "",
+        "   ",
+        "one",
+        "one one one",
+        "the quick brown fox jumps over the lazy dog",
+        "naïve café résumé 中文 日本語 🚀",
+        "a b",  # 2 tokens → guaranteed tie votes on disagreeing bits
+        "x " * 500,
+    ]
+    got = _simhash_batch(pd.Series(fixed, dtype=object))
+    for i, t in enumerate(fixed):
+        if t is None:
+            assert got[i] is pd.NA or pd.isna(got[i])
+        else:
+            want = _simhash64([w for w in t.lower().split(" ") if w])
+            assert int(got[i]) == want, f"mismatch on {t!r}"
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=20), max_size=8))
+    def prop(texts):
+        s = pd.Series([t for t in texts], dtype=object)
+        out = _simhash_batch(s)
+        for i, t in enumerate(texts):
+            want = _simhash64([w for w in t.lower().split(" ") if w])
+            assert int(out[i]) == want
+
+    prop()

@@ -66,7 +66,8 @@ def test_enrichment_columns(spark, pipe_out, golden):
 
 def test_lineage_conservation(spark, pipe_out, golden, transcripts_pdf):
     lin = read_lineage(spark, pipe_out)
-    agg = lin.agg(
+    totals = lin.filter(F.col("partition_id") == -1)
+    agg = totals.agg(
         F.sum("rows_in").alias("rows_in"),
         F.sum("routed").alias("routed"),
         F.sum("dropped").alias("dropped"),
@@ -75,6 +76,35 @@ def test_lineage_conservation(spark, pipe_out, golden, transcripts_pdf):
     assert agg["routed"] + agg["dropped"] == agg["rows_in"]
     assert agg["dropped"] == golden["dropped"]
     assert agg["routed"] == sum(golden["sink_counts"].values())
+
+    # per-partition granularity (SURVEY.md §2.5): real partition_id rows,
+    # one per written file, whose routed sums equal the observe() totals —
+    # both overall and per snapshot
+    per_part = lin.filter(F.col("partition_id") >= 0)
+    assert per_part.count() > 0
+    assert per_part.filter(F.col("sink").isNull() | F.col("file").isNull()).count() == 0
+    per_snap = {
+        r["snapshot_id"]: r["s"]
+        for r in per_part.groupBy("snapshot_id").agg(F.sum("routed").alias("s")).collect()
+    }
+    tot_snap = {
+        r["snapshot_id"]: r["routed"]
+        for r in totals.filter(F.col("routed") > 0).collect()
+    }
+    assert per_snap == tot_snap
+    # partition ids are dense per snapshot
+    for snap in per_snap:
+        ids = sorted(
+            r["partition_id"]
+            for r in per_part.filter(F.col("snapshot_id") == snap).collect()
+        )
+        assert ids == list(range(len(ids)))
+    # per-sink file sums agree with the actual routed data read back
+    sink_sums = {
+        r["sink"]: r["s"]
+        for r in per_part.groupBy("sink").agg(F.sum("routed").alias("s")).collect()
+    }
+    assert sink_sums == golden["sink_counts"]
 
 
 def test_rerun_is_noop(spark, pipe_out, dim_df, rules, transcripts_pdf):

@@ -204,3 +204,49 @@ def test_units_overflow_is_value_error():
             parse_size_bytes(bad)
         with pytest.raises(ValueError, match="out of range"):
             parse_duration_us(bad + "us")
+
+
+def test_exec_source_nonzero_exit_raises(spark):
+    """A failed command must not be silently ingested as a clean run
+    (ADVICE r2): strict mode raises; best-effort mode keeps the output."""
+    argv = ["sh", "-c", "echo partial; exit 3"]
+    with pytest.raises(RuntimeError, match="exited 3"):
+        exec_source(spark, argv)
+    rows = exec_source(spark, argv, strict=False).collect()
+    assert [r["text"] for r in rows] == ["partial"]
+
+
+def test_exec_source_timeout_kill_raises(spark):
+    """Watchdog kill is a partial run — strict mode surfaces it."""
+    argv = ["sh", "-c", "echo line1; sleep 30"]
+    with pytest.raises(RuntimeError, match="timeout"):
+        exec_source(spark, argv, timeout_sec=1.0)
+    rows = exec_source(spark, argv, timeout_sec=1.0, strict=False).collect()
+    assert [r["text"] for r in rows] == ["line1"]
+
+
+def test_select_input_files_empty_and_nested_raise(tmp_path):
+    """'' from the walk must only ever mean all-globbed-out (ADVICE r2):
+    a dataless dir and a nested layout raise instead of silently losing
+    the snapshot to a zero-row commit."""
+    from logpipe_spark.sources.readers import select_input_files
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no data files"):
+        select_input_files(str(empty))
+
+    nested = tmp_path / "nested"
+    (nested / "sub").mkdir(parents=True)
+    (nested / "sub" / "x.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="subdirectories"):
+        select_input_files(str(nested))
+
+    with pytest.raises(FileNotFoundError):
+        select_input_files(str(tmp_path / "missing"))
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "a.parquet").write_bytes(b"")
+    (flat / "_SUCCESS").write_bytes(b"")
+    assert select_input_files(str(flat), include=["zzz-*"]) == []  # all filtered: OK

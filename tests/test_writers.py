@@ -119,8 +119,15 @@ def test_render_es_bulk_keyed_rejects_non_numeric_order(spark):
         pd.DataFrame({"conv_id": ["a", "b"], "text": ["spark x", "spark y"]})
     )
     with pytest.raises(ValueError, match="numeric order_col"):
-        render_es_bulk(docs, '{"k":$0}', F.col("conv_id"), grep="spark")
+        render_es_bulk(
+            docs, '{"k":$0}', F.col("conv_id"), grep="spark", batch_mode="keyed"
+        )
     with pytest.raises(ValueError, match="numeric column"):
         render_es_bulk(
-            docs, '{"k":$0}', F.col("conv_id"), grep="spark", order_col="conv_id"
+            docs, '{"k":$0}', F.col("conv_id"), grep="spark", order_col="conv_id",
+            batch_mode="keyed",
         )
+    # default auto mode falls back to rank for these callers (ADVICE r2:
+    # backward compatible) — small-export path, but it must work
+    out = render_es_bulk(docs, '{"k":$0}', F.col("conv_id"), grep="spark").collect()
+    assert sum(r["n_docs"] for r in out) == 2
