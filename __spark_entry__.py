@@ -614,6 +614,43 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k, value-checked against the exact brute-force
+    top-k oracle. Same planted-structure trick as embedding_neardup_lsh:
+    the fixture vectors are random (pairwise cosine ≤ ~0.52), so the true
+    top-10 for query vec 0 is *derived deterministically* — ten perturbed
+    copies of vec 0 (component scale 1 ± 0.002·j, cosine ≥ 0.998, each j
+    distinct so the ranking is strict). The probe radius (hamming ≤ 2 of
+    16 planes) covers the ≤1.6° perturbation angles, so the LSH candidate
+    set provably contains all ten and the ANN answer equals the exact
+    answer. Plan: one corpus scan computing signatures, candidate filter
+    by signature hamming, exact cosine re-rank of candidates only (the
+    partition-pruned variant over a written index is
+    operators/similarity.py:topk_from_lsh_index, pytest-verified)."""
+    from logpipe_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    js = spark.range(1, 11).select(F.col("id").cast("int").alias("j"))
+    planted = q0.crossJoin(F.broadcast(js)).select(
+        (F.lit(200000) + F.col("j")).cast("long").alias("vec_id"),
+        F.transform(
+            "qv",
+            lambda x, i: x * (1 + F.lit(0.002) * F.col("j") * (1 - 2 * (i % 2))),
+        ).alias("embedding"),
+    )
+    derived = orig.unionByName(planted)
+    return (
+        cosine_topk_lsh(derived, query_vec_id=0, k=10, bits=16, probe_hamming=2)
+        .select("vec_id")
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, *exact* mode at a low threshold
     (0.4): inherently O(n²) compute, but planned as a block-grid equi-join
@@ -633,9 +670,11 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     deterministically*: each vector gets a ±2% alternating-component
     perturbed copy (cosine ≈ 0.9998 to its source, ≤ ~0.52 to everything
     else). At θ=0.9 the true pairs are exactly the 500 planted ones; the
-    probe radius (hamming ≤ 2 of 8 planes) covers the ~1.6° perturbation
+    probe radius (hamming ≤ 2 of 16 planes) covers the ~1.6° perturbation
     angle, so LSH output == exact output — verified by the oracle, and the
-    plan is explode → equi-join, no cartesian."""
+    plan is explode → ONE groupBy exchange → in-bucket pair generation
+    with canonical-key dedupe (no distinct, no cartesian — see
+    operators/similarity.py:neardup_lsh_multiprobe)."""
     from logpipe_spark.operators.similarity import neardup_lsh_multiprobe
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -648,7 +687,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
         ).alias("embedding"),
     )
     derived = orig.unionByName(pert)
-    return neardup_lsh_multiprobe(derived, threshold=0.9, bits=8).select("id_a", "id_b")
+    return neardup_lsh_multiprobe(derived, threshold=0.9, bits=16).select("id_a", "id_b")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -719,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "tpch_q3": q_tpch_q3,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
         "pack_unpack": q_pack_unpack,
@@ -1092,6 +1132,26 @@ def oracle_sql() -> dict[str, str]:
                            CAST(q.qv AS DOUBLE[])) AS sim
                 FROM embeddings e CROSS JOIN q
                 WHERE e.vec_id <> 0)
+            SELECT vec_id FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_lsh_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            js AS (SELECT CAST(range AS INT) AS j FROM range(1, 11)),
+            planted AS (
+                SELECT CAST(200000 + j AS BIGINT) AS vec_id,
+                       list_transform(q.qv,
+                           (x, i) -> x * (1 + 0.002 * j * (1 - 2 * ((i - 1) % 2)))
+                       ) AS embedding
+                FROM q CROSS JOIN js),
+            corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM planted),
+            scored AS (
+                SELECT c.vec_id,
+                       list_cosine_similarity(c.embedding, q.qv) AS sim
+                FROM corpus c CROSS JOIN q WHERE c.vec_id <> 0)
             SELECT vec_id FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "text_quality": """

@@ -85,13 +85,21 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec · plane_i). Pure exprs."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(vec, plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    """Random-hyperplane signature: bit i = sign(vec · plane_i). Pure exprs.
+
+    The planes ride as ONE nested-array literal walked by higher-order
+    functions, instead of ``bits`` separate dot-product expression trees
+    each carrying ``dim`` literals — same result, but the expression is
+    O(1) in ``bits`` for codegen purposes (the round-2 bench showed ~3 s
+    of fixed codegen at 8×64 literals; 16×64 would double it)."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    weights = F.lit([1 << i for i in range(len(planes))]).cast("array<long>")
+    bits_arr = F.transform(planes_lit, lambda p: (dot(vec, p) > 0).cast("long"))
+    return F.aggregate(
+        F.zip_with(bits_arr, weights, lambda b, w: b * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def ivf_build(
@@ -216,24 +224,35 @@ def embedding_neardup_pairs(
 def neardup_lsh_multiprobe(
     emb: DataFrame,
     threshold: float = 0.9,
-    bits: int = 8,
+    bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via multi-probe hyperplane LSH — the 100 TB path.
 
-    Both sides explode each vector's ``bits``-bit signature into bits+1
-    probe keys (identity + every single-bit flip); a key match between two
-    rows covers every pair within hamming distance ≤ 2 of each other's
-    signatures. Candidates are then verified with exact cosine, so every
-    emitted pair is exact; recall covers any pair whose signatures differ
-    in ≤ 2 planes (for near-identical vectors — angle θ — each plane flips
-    with probability θ/π, so at the dedup thresholds this targets, missing
-    3+ of 8 planes is vanishingly rare and contract-tested empirically
-    against the exact oracle on the fixtures). Plan shape: explode (bits+1)×
-    → shuffle equi-join on the probe key → distinct → scoring. No cartesian
-    anywhere."""
+    Each vector's ``bits``-bit signature explodes into bits+1 probe keys
+    (identity + every single-bit flip); two rows sharing a probe key are
+    within hamming ≤ 2 of each other's signatures (triangle through the
+    key), so candidates cover any pair whose signatures differ in ≤ 2
+    planes. Candidates are then verified with exact cosine, so every
+    emitted pair is exact; for near-identical vectors (angle θ) each plane
+    flips with probability θ/π, so at dedup thresholds missing 3+ planes
+    is vanishingly rare — contract-tested empirically against the exact
+    oracle on the fixtures.
+
+    Plan shape (round-3 rework): ONE exchange total for candidates —
+    explode (bits+1)× → groupBy probe key → in-bucket pair generation via
+    array HOFs → exact-cosine verify joins (dimension-small, AQE
+    broadcasts them). Two things make this cheaper than the previous
+    self-join + distinct: (a) a self-join shuffles the keyed rows twice
+    and recomputes the signature chain per side, the groupBy shuffles them
+    once; (b) pairs are emitted EXACTLY ONCE from a canonical probe key —
+    a pair with sig-xor ``diff`` shares exactly the keys {k, k^diff} when
+    diff != 0 (emit iff k < k^diff) and all bits+1 keys when diff == 0
+    (emit iff k == sig) — so there is no distinct exchange at all. The
+    shuffle still carries (id, sig) only, ~16 bytes/row; vectors are
+    re-attached per surviving pair (the round-1 measured 12× win)."""
     planes = _hyperplanes(dim or _infer_dim(emb, vec_col), bits)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "_sig", lsh_bucket_col(F.col("v"), planes)
@@ -242,27 +261,138 @@ def neardup_lsh_multiprobe(
         F.col("_sig"),
         *[F.col("_sig").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(bits)],
     )
-    # candidate generation shuffles IDS ONLY — a (key, id) row is ~16
-    # bytes; carrying the vectors through the join + distinct would move
-    # the whole corpus (bits+1)× through two exchanges (measured 12×
-    # slower at sf0.1). Vectors are re-attached once per *surviving
-    # distinct pair* below.
-    keyed = base.select("id", F.explode(probes).alias("_k"))
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    cand = (
-        a.join(b, "_k")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    keyed = base.select("id", "_sig", F.explode(probes).alias("_k"))
+    buckets = (
+        keyed.groupBy("_k")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "_sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def _emit(x, y, k):
+        # canonical-key rule: of the probe keys this pair shares, emit only
+        # from one — no duplicates, hence no distinct
+        diff = x["_sig"].bitwiseXOR(y["_sig"])
+        return F.when(diff == 0, k == x["_sig"]).otherwise(k < k.bitwiseXOR(diff))
+
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice(F.col("ms"), i + F.lit(2), F.size("ms")),
+                                lambda y: F.struct(
+                                    x["id"].alias("id_a"),
+                                    y["id"].alias("id_b"),
+                                    _emit(x, y, F.col("_k")).alias("keep"),
+                                ),
+                            ),
+                            lambda s: s["keep"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
     )
     vecs = base.select("id", "v")
     scored = (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
         .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("sim", cosine(F.col("va"), F.col("vb")))
     )
     return scored.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
+
+
+def write_lsh_index(
+    emb: DataFrame,
+    path: str,
+    bits: int = 16,
+    prefix_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an LSH-bucketed ANN index: the corpus with its
+    ``bits``-bit hyperplane signature, written **partitioned by the top
+    ``prefix_bits`` of the signature** — so a query prunes to the probed
+    partitions at the SCAN (Spark partition pruning on the directory
+    column), never touching the rest of the corpus. 2^prefix_bits
+    directories; keep prefix_bits ≤ ~12 so the file count stays sane."""
+    planes = _hyperplanes(dim or _infer_dim(emb, vec_col), bits)
+    sig = lsh_bucket_col(F.col(vec_col), planes)
+    (
+        emb.withColumn("_sig", sig)
+        .withColumn(
+            "bucket", F.shiftrightunsigned(F.col("_sig"), bits - prefix_bits)
+        )
+        # one file per bucket dir: the shuffle has 2^prefix_bits keys
+        .repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def _prefixes_within_hamming(prefix: int, prefix_bits: int, radius: int) -> list[int]:
+    """All prefix values within hamming ≤ radius of ``prefix`` (driver-side
+    combinatorics: C(prefix_bits, ≤radius) values — 37 for 8 bits, r=2)."""
+    from itertools import combinations
+
+    out = [prefix]
+    for r in range(1, radius + 1):
+        for bits_to_flip in combinations(range(prefix_bits), r):
+            v = prefix
+            for b in bits_to_flip:
+                v ^= 1 << b
+            out.append(v)
+    return out
+
+
+def topk_from_lsh_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 16,
+    prefix_bits: int = 8,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a ``write_lsh_index`` table. The query's signature
+    prefix expands driver-side into every prefix within
+    ``probe_hamming`` flips; the scan filters ``bucket IN (...)`` — a
+    partition-column predicate, so Spark prunes the untouched directories
+    from the file listing (assert: explain() shows the In(bucket) partition
+    filter and inputFiles() shrinks — tests/test_similarity.py). Any pair
+    of signatures within hamming ≤ probe_hamming overall differs in ≤
+    probe_hamming prefix bits, so candidate recall matches the unindexed
+    ``cosine_topk_lsh`` at the same radius. Candidates are re-ranked with
+    the full-signature hamming filter, then exact cosine."""
+    planes = _hyperplanes(len(query_vec), bits)
+    import numpy as np
+
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(query_vec, p)) > 0:
+            qsig |= 1 << i
+    qprefix = qsig >> (bits - prefix_bits)
+    probes = _prefixes_within_hamming(qprefix, prefix_bits, probe_hamming)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    cand = idx.filter(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig).cast("long")))
+        <= probe_hamming
+    )
+    return (
+        cand.select(id_col, cosine(F.col(vec_col), qcol).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def cosine_topk_lsh(

@@ -74,7 +74,9 @@ def test_graded_queries_have_no_scale_killers(spark):
     # query vector; range_join probes a 3-row broadcast bands table with a
     # BETWEEN predicate. Cost is n x |broadcast| = O(n). Any other query
     # growing a BNLJ is a regression.
-    bnlj_ok = {"ann_cosine_topk", "range_join"}
+    # ann_lsh_topk: same O(1)-row broadcasts (the 1-row query vector and
+    # the 10-row planted-j table) — corpus side is scanned once, O(n)
+    bnlj_ok = {"ann_cosine_topk", "ann_lsh_topk", "range_join"}
     qs = entry_mod.queries()
     offenders = {}
     for name, fn in qs.items():

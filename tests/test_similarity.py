@@ -180,3 +180,49 @@ def test_exact_blockgrid_no_cartesian(emb):
     plan = embedding_neardup_pairs(emb, threshold=0.4, bits=None)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_lsh_index_partition_pruning(spark, emb, emb_np, tmp_path):
+    """write_lsh_index + topk_from_lsh_index: the query must (a) return the
+    exact brute-force top-k on a planted corpus, and (b) actually PRUNE —
+    bucket is a directory-partition column, so the In(bucket) predicate
+    must cut the scanned file set, not filter rows post-scan."""
+    from logpipe_spark.operators.similarity import (
+        topk_from_lsh_index,
+        write_lsh_index,
+    )
+
+    qv = emb_np[0]
+    # derived corpus: all vectors except the query itself, plus 10 planted
+    # near-dups of the query (strictly ranked by perturbation size)
+    orig = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    js = spark.range(1, 11).select(F.col("id").cast("int").alias("j"))
+    planted = q0.crossJoin(F.broadcast(js)).select(
+        (F.lit(200000) + F.col("j")).cast("long").alias("vec_id"),
+        F.transform(
+            "qv", lambda x, i: x * (1 + F.lit(0.002) * F.col("j") * (1 - 2 * (i % 2)))
+        ).alias("embedding"),
+    )
+    corpus = orig.unionByName(planted)
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(corpus, path, bits=16, prefix_bits=8)
+
+    got = topk_from_lsh_index(
+        spark, path, [float(x) for x in qv], k=10, bits=16, prefix_bits=8
+    )
+    assert [r["vec_id"] for r in got.collect()] == [200000 + j for j in range(1, 11)]
+
+    # pruning evidence: the predicate lands in PartitionFilters (not a
+    # post-scan row Filter), and the executed scan's numFiles metric shows
+    # it read only the probed directories — ≤ C(8,≤2)=37 of the 2^8 dirs
+    probed = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in probed and "bucket" in probed
+    total_files = len(spark.read.parquet(path).inputFiles())
+    scan = got._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files = scan.metrics().apply("numFiles").value()
+    assert num_files <= 37 < total_files

@@ -110,3 +110,95 @@ def test_windowed_watermark_stream(spark, transcripts_pdf, tmp_path):
     assert set(got) <= set(exp)
     for k, v in got.items():
         assert v == exp[k], k
+
+
+def test_windowed_late_data_across_batches(spark, tmp_path):
+    """Out-of-order events across micro-batches (VERDICT r2 #8): a row
+    later than the watermark is DROPPED (and counted in the progress
+    metrics); a late-but-within-watermark row is folded into its window;
+    every emitted window equals the batch result over the kept rows."""
+    import time as _time
+
+    import pandas as pd
+
+    from logpipe_spark.streaming.windowed import windowed_turn_counts
+
+    def mk(ts_list):
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(ts_list),
+                "turn_idx": range(len(ts_list)),
+                "role": ["user"] * len(ts_list),
+                "text": ["x"] * len(ts_list),
+                "tool": [""] * len(ts_list),
+                "ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: W1=[10:00,10:10) ×2, W2=[10:10,10:20) ×1; max ts 10:25
+    # batch 2: 10:17 → W2 late-but-within-watermark (kept), 10:45 advances
+    #          the event clock (watermark after this batch: 10:35)
+    # batch 3: 10:05 → W1 too-late (< watermark, DROPPED); 11:00 advances
+    #          the watermark far enough to flush W2/W3/W4
+    # (the too-late row sits in the LAST batch because the watermark a
+    # batch filters against is the one finalized at the end of the
+    # previous batch — Spark's documented one-batch lag)
+    batches = [
+        ["2026-01-01 10:01", "2026-01-01 10:03", "2026-01-01 10:12", "2026-01-01 10:25"],
+        ["2026-01-01 10:17", "2026-01-01 10:45"],
+        ["2026-01-01 10:05", "2026-01-01 11:00"],
+    ]
+    for i, ts in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        mk(ts).to_parquet(p, index=False)
+        _time.sleep(0.05)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))  # stable file order
+
+    from logpipe_spark.streaming.stream import TRANSCRIPT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = windowed_turn_counts(stream, window_minutes=10, watermark_minutes=10)
+    out = tmp_path / "out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(out / "_ckpt"))
+        .trigger(availableNow=True)
+        .start(str(out / "data"))
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    progresses = q.recentProgress
+    data_batches = [p for p in progresses if p["numInputRows"] > 0]
+    assert len(data_batches) == 3  # one micro-batch per file
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1  # exactly the 10:05 row
+
+    got = {
+        (str(r["win_start"]), r["n_turns"])
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    # kept rows = all events minus the too-late 10:05
+    kept = [t for b in batches for t in b if t != "2026-01-01 10:05"]
+    batch_df = spark.createDataFrame(mk(kept))
+    exp = {
+        (str(r["win_start"]), r["n_turns"])
+        for r in windowed_turn_counts(batch_df).collect()
+    }
+    # emitted ⊆ batch-over-kept, with exact values; and the two windows
+    # that exercise the semantics MUST have been finalized and emitted:
+    # W1 with the too-late row excluded, W2 with the late-OK row included
+    assert got <= exp
+    assert ("2026-01-01 10:00:00", 2) in got  # W1: 10:01, 10:03 (no 10:05)
+    assert ("2026-01-01 10:10:00", 2) in got  # W2: 10:12 + late-OK 10:17
