@@ -28,6 +28,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = "/tmp/logpipe_bench_cache"
 
+# Measured-run JVM posture (BENCH.md round 3): local mode runs N executor
+# threads in ONE JVM, so allocation rate scales with cores while the default
+# 8g heap + G1 doesn't — at local[32] the flagship spent ~15% of wall time
+# in GC and the 8→32 efficiency read ~0.70; 32g + the throughput collector
+# recovers most of it at every point (same config at every point, so the
+# ratio stays honest). Overridable from the environment.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+os.environ.setdefault("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
+
+# pure-CPU control: python processes spinning an integer loop — negligible
+# memory traffic and no JVM, so its N→4N efficiency measures what this host
+# actually gives ANY embarrassingly-parallel job at each width (hypervisor
+# contention, frequency). pipeline-efficiency ÷ control-efficiency is the
+# memory-bandwidth-normalized number. Fixed total work across all points.
+SPIN_UNIT_ITERS = 30_000_000
+SPIN_UNITS = 32
+
 # bench transcript rows per sf (≈ lineitem row count at that sf)
 SF_TURNS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
 
@@ -99,6 +116,25 @@ def run_flagship(spark, src_path: str) -> float:
     return time.perf_counter() - t0
 
 
+def _spin_unit(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x ^= (i * 2654435761) & 0xFFFFFFFF
+    return x
+
+
+def run_spin(procs: int) -> float:
+    """Pure-CPU process-pool control: SPIN_UNITS fixed work units over
+    ``procs`` workers (python ints, ~zero memory traffic, no JVM)."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as pool:
+        pool.map(_spin_unit, [1000] * procs)  # warm the pool (fork cost out)
+        t0 = time.perf_counter()
+        pool.map(_spin_unit, [SPIN_UNIT_ITERS] * SPIN_UNITS)
+        return time.perf_counter() - t0
+
+
 def scaling_worker(cores: int, src_path: str) -> None:
     """Subprocess entry: print pipeline seconds at local[cores]."""
     from logpipe_spark.session import get_spark
@@ -108,24 +144,32 @@ def scaling_worker(cores: int, src_path: str) -> None:
     run_flagship(spark, src_path)  # warmup (JIT + parquet footer cache)
     # best-of-N within the visit; the cross-visit min in measure_scaling
     # handles slower host-speed drift
-    reps = 1 if cores <= 2 else 3
+    reps = 1 if cores <= 4 else (2 if cores <= 16 else 3)
     best = min(run_flagship(spark, src_path) for _ in range(reps))
     print(json.dumps({"cores": cores, "sec": best}))
     spark.stop()
 
 
 def measure_scaling(src_path: str, points: tuple[int, ...], rounds: int = 2) -> dict:
-    """Same job at each parallelism level in its own JVM; efficiency between
-    consecutive points i→j = T_i / ((j/i) · T_j).
+    """Same job at each parallelism level in its own JVM; efficiency for
+    every 4× pair i→j present in ``points`` = T_i / ((j/i) · T_j).
 
-    The points are visited in ``rounds`` interleaved passes (2,8,32,2,8,32)
-    and each point takes its cross-visit minimum: on this shared host the
-    effective per-core speed drifts on a minutes timescale (neighbor load,
-    active-core turbo), and measuring the points back-to-back bakes that
-    drift into the ratio — a single sequential pass swung the 8→32
-    efficiency 0.75-0.94 between bench runs; interleaving samples every
-    point under both fast and slow host phases."""
+    The points are visited in ``rounds`` interleaved passes and each point
+    takes its cross-visit minimum: on this shared host the effective
+    per-core speed drifts on a minutes timescale (neighbor load, hypervisor
+    contention), and measuring the points back-to-back bakes that drift
+    into the ratio — a single sequential pass swung the 8→32 efficiency
+    0.75-0.94 between bench runs; interleaving samples every point under
+    both fast and slow host phases.
+
+    Alongside each pipeline visit, the same width runs the pure-CPU
+    process-pool control (``run_spin``, no JVM): its N→4N efficiency
+    captures what the host gives ANY embarrassingly-parallel job at that
+    width (hypervisor contention, frequency — measured 0.84-0.94 at 8→32
+    depending on host phase), so pipeline-efficiency ÷ control-efficiency
+    is the memory-bandwidth-normalized number."""
     secs: dict[int, float] = {}
+    spins: dict[int, float] = {}
     for _ in range(rounds):
         for cores in points:
             r = subprocess.run(
@@ -134,11 +178,19 @@ def measure_scaling(src_path: str, points: tuple[int, ...], rounds: int = 2) -> 
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-            sec = json.loads(line)["sec"]
-            secs[cores] = min(secs.get(cores, float("inf")), sec)
+            rec = json.loads(line)
+            secs[cores] = min(secs.get(cores, float("inf")), rec["sec"])
+            spins[cores] = min(spins.get(cores, float("inf")), run_spin(cores))
     out: dict = {f"sec_local[{c}]": round(s, 3) for c, s in secs.items()}
-    for a, b in zip(points, points[1:]):
-        out[f"efficiency_{a}to{b}"] = round(secs[a] / ((b / a) * secs[b]), 3)
+    out.update({f"spin_sec_local[{c}]": round(s, 3) for c, s in spins.items()})
+    for a in points:
+        b = a * 4
+        if b in secs:
+            eff = secs[a] / (4 * secs[b])
+            ctrl = spins[a] / (4 * spins[b])
+            out[f"efficiency_{a}to{b}"] = round(eff, 3)
+            out[f"control_efficiency_{a}to{b}"] = round(ctrl, 3)
+            out[f"normalized_efficiency_{a}to{b}"] = round(min(eff / ctrl, 1.0), 3)
     return out
 
 
@@ -206,7 +258,7 @@ def main() -> None:
         "window_topk", "sessionize", "doc_route", "dedup_fingerprint",
         "dedup_minhash", "minhash_lsh_pairs", "ann_cosine_topk", "tpch_q3",
         "embedding_neardup_lsh", "es_bulk_render", "multimodal_features",
-        "text_quality",
+        "text_quality", "dedup_simhash", "dedup_simhash_pairs", "ann_lsh_topk",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:
@@ -226,7 +278,11 @@ def main() -> None:
         # (memory-bandwidth-bound); same job, same input, each point in its
         # own JVM (see BENCH.md for the task-granularity/variance story)
         if CPUS >= 32:
-            points = (CPUS // 16, CPUS // 4, CPUS)
+            # five points, three 4× transitions (2→8, 4→16, 8→32): the
+            # criterion is evidenced in the scheduler-bound regime, the
+            # mid (bandwidth-comfortable) regime, and the full-width
+            # (bandwidth-pressured) regime
+            points = (2, 4, CPUS // 4, CPUS // 2, CPUS)
         elif CPUS >= 8:
             points = (CPUS // 4, CPUS)
         else:

@@ -55,12 +55,30 @@ PARSE_SCHEMA = T.StructType(
 PARSE_COLS = [f.name for f in PARSE_SCHEMA.fields]
 
 
-def _guarded(text: Column, prefix: str, pat: str, group: int) -> Column:
+def _guarded(
+    text: Column, prefix: str, pat: str, group: int, empty_capable: bool = False
+) -> Column:
     """Cheap prefix guard before the regex (grep-before-tokenize,
     `logpipe-output-es.c:610-626`); NULL on no-match instead of
-    regexp_extract's empty string."""
+    regexp_extract's empty string.
+
+    ``empty_capable=False`` (a group like ``(\\w+)`` that cannot match the
+    empty string): ONE regex pass — ``nullif(regexp_extract, '')`` is
+    exactly equivalent to guarding with rlike, because '' only ever means
+    "pattern didn't match". The rlike+extract double execution was ~2
+    regex passes over `text` per row on the hot families — measurable
+    memory-bandwidth relief at 96M rows (BENCH.md round 3).
+
+    ``empty_capable=True`` (a group like ``([^)]*)``): keep the rlike
+    guard, since a matched-empty group must stay '' (oracle parity), not
+    be folded to NULL."""
+    if empty_capable:
+        return F.when(
+            text.startswith(prefix) & text.rlike(pat),
+            F.regexp_extract(text, pat, group),
+        )
     return F.when(
-        text.startswith(prefix) & text.rlike(pat), F.regexp_extract(text, pat, group)
+        text.startswith(prefix), F.nullif(F.regexp_extract(text, pat, group), F.lit(""))
     )
 
 
@@ -82,13 +100,16 @@ def extract_builtin(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(
         {
+            # empty_capable flags follow the capture groups: (\w+)/(\d+)
+            # can't match empty → single-pass nullif form; ([^)]*)/(.*)/
+            # ([^\]]*) can → keep the rlike guard for oracle-exact ''
             "tool_called": _guarded(t, "CALL ", CALL_PAT, 1),
-            "call_args": _guarded(t, "CALL ", CALL_PAT, 2),
+            "call_args": _guarded(t, "CALL ", CALL_PAT, 2, empty_capable=True),
             "call_status": _guarded(t, "CALL ", CALL_PAT, 3),
             "error_code": _guarded(t, "ERROR ", ERROR_PAT, 1).cast("int"),
-            "error_msg": _guarded(t, "ERROR ", ERROR_PAT, 2),
-            "meta_system": _guarded(t, "[[", META_PAT, 1),
-            "meta_server": _guarded(t, "[[", META_PAT, 2),
+            "error_msg": _guarded(t, "ERROR ", ERROR_PAT, 2, empty_capable=True),
+            "meta_system": _guarded(t, "[[", META_PAT, 1, empty_capable=True),
+            "meta_server": _guarded(t, "[[", META_PAT, 2, empty_capable=True),
             "meta_offset": _guarded(t, "[[", META_PAT, 3).cast("long"),
             "meta_line": _guarded(t, "[[", META_PAT, 4).cast("long"),
             "n_fields": n_fields_col(t),

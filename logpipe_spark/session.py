@@ -60,6 +60,18 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": "134217728",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
+        # GC matters in local mode: N executor threads share ONE JVM, so
+        # allocation rate scales with cores while the default heap doesn't —
+        # at local[32] the flagship chain spent ~15% of wall time in G1
+        # pauses at 8g (BENCH.md round 3). bench.py sets
+        # SPARK_GRAFT_DRIVER_MEM=32g and SPARK_GRAFT_JAVA_OPTS=
+        # -XX:+UseParallelGC (throughput collector) for measured runs; on a
+        # real cluster per-executor heaps make this moot.
+        **(
+            {"spark.driver.extraJavaOptions": os.environ["SPARK_GRAFT_JAVA_OPTS"]}
+            if os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+            else {}
+        ),
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     }
     if extra_conf:
