@@ -584,6 +584,68 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_lead_lag(spark, sf_dir):
+    """§2.5 window-function family beyond rank/row_number: lag/lead over a
+    partitioned ordered window (per event_type by (ts, event_id)) — the
+    inter-event-gap analysis every log pipeline runs. Partitioned window:
+    no SinglePartition exchange (auto-screened by test_plan_quality)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val_cents = F.floor(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.lag(val_cents).over(w).alias("prev_value_cents"),
+        F.lead(val_cents).over(w).alias("next_value_cents"),
+        # exact microsecond difference: unix_timestamp() truncates while
+        # DuckDB's epoch() keeps fractions — micros are integer on both
+        # ts is TIMESTAMP_NTZ; unix_micros needs LTZ — session TZ is pinned
+        # UTC so the cast is value-identity (matches DuckDB's epoch_us on
+        # the naive timestamp)
+        (
+            F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp_ltz")).over(w))
+        ).alias("gap_us"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """§2.5 deep multi-join (TPC-H Q5 shape): customer ⋈ orders ⋈ lineitem
+    ⋈ supplier ⋈ nation ⋈ region with the local-supplier constraint
+    (c_nationkey = s_nationkey) — six tables, mixed broadcast (region/
+    nation/supplier dims) + shuffle (fact chain) joins; Catalyst orders
+    them. Region list + 4-year window keep ≥5 result rows at sf0.001 so
+    the value check is never vacuous (the r2 tpch_q3 lesson). Integer
+    cents keep the hash comparable across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev.cast("long")).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
+    )
+
+
 def q_windowed_agg(spark, sf_dir):
     """§2.5 streaming-family operator, batch-parity-checked: tumbling
     10-minute event-time windows (F.window — the same expression the
@@ -757,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "lead_lag": q_lead_lag,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_quality": q_text_quality,
@@ -1373,5 +1437,33 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name IN ('EUROPE', 'ASIA')
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name ASC
+        """,
+        "lead_lag": """
+            SELECT event_id,
+                   event_type,
+                   LAG(CAST(FLOOR(value * 100) AS BIGINT))
+                       OVER w AS prev_value_cents,
+                   LEAD(CAST(FLOOR(value * 100) AS BIGINT))
+                       OVER w AS next_value_cents,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
         """,
     }

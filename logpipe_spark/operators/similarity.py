@@ -150,6 +150,71 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> list[list[float]]:
+    """Materialize an IVF index: the corpus partitioned by its k-means
+    cell (`ivf_build`), one directory per cell, centers persisted as a
+    JSON sidecar (`_ivf_centers.json` — driver-side metadata, KBs). A
+    query then prunes to nprobe directories at the scan, the same
+    partition-pruning contract as ``write_lsh_index``. Returns centers."""
+    import json
+    import os
+
+    assigned, centers = ivf_build(emb, n_cells, id_col, vec_col, seed)
+    (
+        assigned.repartition(F.col("cell"))
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centers.json"), "w") as f:
+        json.dump(centers, f)
+    return centers
+
+
+def topk_from_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a ``write_ivf_index`` table: rank cells by
+    centroid distance driver-side (|centers| is tiny), scan ONLY the
+    nprobe nearest cell directories (``cell IN (...)`` is a
+    partition-column predicate → file-list pruning, asserted via the
+    scan's numFiles metric in tests), brute-force cosine within them."""
+    import json
+    import math
+    import os
+
+    with open(os.path.join(path, "_ivf_centers.json")) as f:
+        centers = json.load(f)
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    probe = sorted(range(len(centers)), key=lambda c: dist(centers[c], query_vec))[
+        :nprobe
+    ]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return (
+        idx.select(id_col, cosine(F.col(vec_col), qcol).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def _infer_dim(emb: DataFrame, vec_col: str) -> int:
     """Read the vector dimension from the data (one 1-row job). Hardcoding
     a wrong dim would make zip_with pad with NULLs → NULL buckets → silent

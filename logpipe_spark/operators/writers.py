@@ -40,6 +40,41 @@ def write_partitioned_by_key(
     w.partitionBy(key_col).parquet(path)
 
 
+def write_text_lines(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Byte-faithful line sink — the reference's CORE contract: every
+    collected line is forwarded verbatim into the destination file
+    (`logpipe-output-file.c:208-286` appends the block bytes unchanged).
+    Writes the raw ``text_col`` as newline-delimited text, one directory
+    per partition value (e.g. sink), optional size rotation and gzip/zstd.
+
+    Byte-faithfulness caveat, stated rather than hidden: the text source/
+    sink round-trips LINES — a payload containing '\\n' would split on
+    read-back (the reference has the same property: it frames ON
+    newlines, `logpipe-input-file.c` line framing). Order within a file
+    follows task row order; global order is by read-time ORDER BY, same
+    as the parquet sinks (SURVEY §7.3)."""
+    out = df.select(
+        *[F.col(c) for c in (partition_cols or [])],
+        F.col(text_col).alias("value"),
+    )
+    w = out.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.text(path)
+
+
 def write_date_partitioned(
     df: DataFrame, path: str, ts_col: str = "ts", fmt: str = "yyyyMMdd",
     mode: str = "append",

@@ -20,6 +20,7 @@ import subprocess
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from logpipe_spark.globs import is_match
@@ -80,6 +81,33 @@ def select_input_files(
             continue
         out.append(os.path.join(src_dir, n))
     return out
+
+
+def text_lines_source(
+    spark: SparkSession,
+    src_dir: str,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Raw text-log scan — the reference's primary input is TAILING TEXT
+    FILES (`logpipe-input-file.c` line framing); this is the batch scan of
+    the same: newline-framed lines as (filename, text). Include/exclude
+    globs prune the file LIST before the scan (same walk semantics as the
+    parquet path). The filename rides the hidden ``_metadata`` column —
+    no extra IO; per-file line numbers are intentionally NOT fabricated
+    here (a distributed scan has no cheap in-file order — the reference's
+    offset bookkeeping maps to the snapshot ledger, not row numbers)."""
+    if include or exclude:
+        paths = select_input_files(src_dir, include, exclude)
+        if not paths:
+            raise ValueError(f"all files under {src_dir} filtered out")
+        reader = spark.read.text(paths)
+    else:
+        reader = spark.read.text(src_dir)
+    return reader.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("filename"),
+        F.col("value").alias("text"),
+    )
 
 
 def snapshot_source(

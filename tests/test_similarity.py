@@ -226,3 +226,42 @@ def test_lsh_index_partition_pruning(spark, emb, emb_np, tmp_path):
     scan = got._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
     num_files = scan.metrics().apply("numFiles").value()
     assert num_files <= 37 < total_files
+
+
+def test_ivf_index_partition_pruning(spark, emb, emb_np, tmp_path):
+    """write_ivf_index + topk_from_ivf_index: exact brute-force top-k on a
+    planted corpus through an nprobe-pruned scan (the near-identical
+    planted copies land in the query's own k-means cell), with pruning
+    asserted via the scan's numFiles metric."""
+    from logpipe_spark.operators.similarity import (
+        topk_from_ivf_index,
+        write_ivf_index,
+    )
+
+    qv = [float(x) for x in emb_np[0]]
+    orig = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    js = spark.range(1, 11).select(F.col("id").cast("int").alias("j"))
+    planted = q0.crossJoin(F.broadcast(js)).select(
+        (F.lit(200000) + F.col("j")).cast("long").alias("vec_id"),
+        F.transform(
+            "qv", lambda x, i: x * (1 + F.lit(0.002) * F.col("j") * (1 - 2 * (i % 2)))
+        ).alias("embedding"),
+    )
+    corpus = orig.unionByName(planted)
+    path = str(tmp_path / "ivf_index")
+    centers = write_ivf_index(corpus, path, n_cells=16)
+    assert len(centers) == 16
+
+    got = topk_from_ivf_index(spark, path, qv, k=10, nprobe=4)
+    rows = got.collect()
+    assert [r["vec_id"] for r in rows] == [200000 + j for j in range(1, 11)]
+
+    total_files = len(spark.read.parquet(path).inputFiles())
+    scan = got._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files = scan.metrics().apply("numFiles").value()
+    assert num_files <= 4 < total_files  # nprobe dirs only, 1 file per cell

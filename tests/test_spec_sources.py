@@ -250,3 +250,44 @@ def test_select_input_files_empty_and_nested_raise(tmp_path):
     (flat / "a.parquet").write_bytes(b"")
     (flat / "_SUCCESS").write_bytes(b"")
     assert select_input_files(str(flat), include=["zzz-*"]) == []  # all filtered: OK
+
+
+def test_text_lines_roundtrip_byte_faithful(spark, transcripts_pdf, golden, tmp_path):
+    """The reference's CORE contract — lines in == lines out, byte for
+    byte: write routed transcripts through the raw text sink (one dir per
+    sink), read them back with the text source, and compare the multiset
+    of lines per sink against the pure-python routing oracle."""
+    from logpipe_spark.fixtures import default_route_rules, gen_tool_role_dim
+    from logpipe_spark.operators.writers import write_text_lines
+    from logpipe_spark.pipeline import build_stage_chain
+    from logpipe_spark.sources.readers import text_lines_source
+
+    df = spark.createDataFrame(transcripts_pdf)
+    dim = spark.createDataFrame(gen_tool_role_dim())
+    routed = build_stage_chain(df, dim, default_route_rules()).filter(
+        F.col("sink").isNotNull()
+    )
+    out = str(tmp_path / "textout")
+    write_text_lines(routed, out, partition_cols=["sink"])
+
+    exp_by_sink = {}
+    for sink, text in zip(
+        golden["routed"]["sink"], golden["routed"]["text"]
+    ):
+        exp_by_sink.setdefault(sink, []).append(text)
+
+    for sink, exp_lines in exp_by_sink.items():
+        got = [
+            r["text"]
+            for r in text_lines_source(spark, os.path.join(out, f"sink={sink}")).collect()
+        ]
+        assert sorted(got) == sorted(exp_lines), f"byte mismatch in {sink}"
+
+    # include/exclude globs prune the read-back file list too
+    some_sink = next(iter(exp_by_sink))
+    d = os.path.join(out, f"sink={some_sink}")
+    n_all = text_lines_source(spark, d).count()
+    n_inc = text_lines_source(spark, d, include=["part-*"]).count()
+    assert n_all == n_inc > 0
+    with pytest.raises(ValueError, match="filtered out"):
+        text_lines_source(spark, d, include=["zzz-*"])

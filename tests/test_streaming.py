@@ -202,3 +202,64 @@ def test_windowed_late_data_across_batches(spark, tmp_path):
     assert got <= exp
     assert ("2026-01-01 10:00:00", 2) in got  # W1: 10:01, 10:03 (no 10:05)
     assert ("2026-01-01 10:10:00", 2) in got  # W2: 10:12 + late-OK 10:17
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: replayed rows across micro-batches are
+    dropped while inside the watermark; state is keyed by content hash.
+    Feed the same lines in batch 1 and batch 2 → output has each line
+    once."""
+    import time as _time
+
+    import pandas as pd
+
+    from logpipe_spark.streaming.dedup import stream_exact_dedup
+    from logpipe_spark.streaming.stream import TRANSCRIPT_SCHEMA
+
+    def mk(texts, ts):
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(texts),
+                "turn_idx": np.arange(len(texts), dtype="int32"),
+                "role": ["user"] * len(texts),
+                "text": texts,
+                "tool": [""] * len(texts),
+                "ts": pd.to_datetime([ts] * len(texts)).astype("datetime64[us]"),
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: three lines; batch 2: two replays + one new line (all within
+    # the 30-minute watermark of each other)
+    batches = [
+        mk(["alpha", "beta", "gamma"], "2026-01-01 10:00"),
+        mk(["alpha", "gamma", "delta"], "2026-01-01 10:05"),
+    ]
+    for i, pdf in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        _time.sleep(0.05)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = stream_exact_dedup(stream, watermark="30 minutes")
+    out = tmp_path / "out"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", str(out / "_ckpt"))
+        .trigger(availableNow=True)
+        .start(str(out / "data"))
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    got = sorted(r["text"] for r in spark.read.parquet(str(out / "data")).collect())
+    assert got == ["alpha", "beta", "delta", "gamma"]  # each line exactly once
