@@ -777,6 +777,11 @@ def q_multimodal_features(spark, sf_dir):
             F.lit("raw").alias("codec"),
         ).alias("meta"),
     )
+    # single-file source → one scan task; split before the per-row hash
+    # work (same under-split guard as dedup_simhash). At real media sizes
+    # media_repartition (byte-budget) is the right splitter; this fixture's
+    # payloads are KB-scale text, so parallelism is the binding constraint.
+    media = media.repartition(spark.sparkContext.defaultParallelism)
     return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
 
 
