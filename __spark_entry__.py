@@ -511,6 +511,66 @@ def q_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the near-dup graph — the ITERATIVE
+    algorithm row: Jaccard-0.8 pairs unioned with planted 4-node chain
+    edges (doc_id ↔ doc_id+1 when doc_id % 10 < 3 — guarantees multi-hop
+    components at every SF, so the fixpoint loop genuinely iterates).
+    Spark side: min-label propagation with per-round localCheckpoint
+    (operators/dedup.py:connected_components); oracle: recursive-CTE
+    reachability computing the same min-reachable-id."""
+    from logpipe_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+    d = docs.select("doc_id").alias("d")
+    e = docs.select("doc_id").alias("e")
+    chain = (
+        d.join(e, F.col("d.doc_id") + 1 == F.col("e.doc_id"))
+        .filter(F.col("d.doc_id") % 10 < 3)
+        .select(
+            F.col("d.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
+        )
+    )
+    return connected_components(pairs.union(chain).distinct()).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by hashed stable key
+    (operators/corpus.py:hash_split) — md5-derived buckets, so the oracle
+    reproduces the split bit for bit; resplits never move docs."""
+    from logpipe_spark.operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01}).select(
+        "doc_id", "split"
+    )
+
+
+def q_corpus_filter(spark, sf_dir):
+    """C4-style quality gate with first-failed-rule accounting
+    (operators/corpus.py:corpus_filter)."""
+    from logpipe_spark.operators.corpus import corpus_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_filter(
+        docs, min_chars=100, max_chars=500, min_tokens=20
+    ).select("doc_id", "keep", "drop_reason")
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Next-fit sequence packing into 512-token bins over 8 hash shards
+    (operators/corpus.py:sequence_pack) — the genuinely-sequential op as
+    applyInPandas per shard; oracle is a per-shard recursive CTE running
+    the identical next-fit arithmetic."""
+    from logpipe_spark.operators.corpus import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_pack(docs, budget=512, n_shards=8)
+
+
 def q_top_terms(spark, sf_dir):
     """Corpus top-20 vocabulary terms (explode → hash agg → TopK)."""
     from logpipe_spark.operators.textstats import top_terms
@@ -826,6 +886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "lead_lag": q_lead_lag,
+        "dedup_components": q_dedup_components,
+        "hash_split": q_hash_split,
+        "corpus_filter": q_corpus_filter,
+        "sequence_pack": q_sequence_pack,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "text_quality": q_text_quality,
@@ -1470,5 +1534,96 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        """,
+        "dedup_components": _ngram_pairs_cte().replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+        , chain AS (
+          SELECT d.doc_id AS doc_a, e.doc_id AS doc_b
+          FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+          WHERE d.doc_id % 10 < 3
+        ), alledges AS (
+          SELECT doc_a, doc_b FROM pairs
+          UNION
+          SELECT doc_a, doc_b FROM chain
+        ), sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM alledges
+          UNION
+          SELECT doc_b, doc_a FROM alledges
+        ), nodes AS (
+          SELECT DISTINCT a AS n FROM sym
+        ), reach(src, dst) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+        )
+        SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE
+                     WHEN CAST('0x' || substr(md5('split:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                          % 10000 < 9800 THEN 'train'
+                     WHEN CAST('0x' || substr(md5('split:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                          % 10000 < 9900 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
+        "corpus_filter": """
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS n_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN n_chars < 100 THEN 'too_short'
+                       WHEN n_chars > 500 THEN 'too_long'
+                       WHEN n_tokens < 20 THEN 'too_few_tokens'
+                       WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+                            < 2.0 THEN 'tokens_too_short'
+                       WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+                            > 12.0 THEN 'tokens_too_long'
+                       WHEN alpha_ratio < 0.5 THEN 'low_alpha_ratio'
+                     END AS drop_reason
+              FROM s
+            )
+            SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r
+        """,
+        "sequence_pack": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 8 AS INT) AS shard,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                          x -> x <> '')) AS INT) AS n_tokens
+              FROM documents
+            ), seq AS (
+              SELECT *, row_number() OVER (PARTITION BY shard
+                                           ORDER BY doc_id) AS rn
+              FROM base WHERE n_tokens >= 1
+            ), rec AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+                     CASE WHEN r.fill + s.n_tokens > 512
+                          THEN r.seq_id + 1 ELSE r.seq_id END,
+                     CASE WHEN r.fill + s.n_tokens > 512
+                          THEN s.n_tokens ELSE r.fill + s.n_tokens END
+              FROM rec r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
+            )
+            SELECT doc_id, shard, n_tokens,
+                   shard * 1099511627776 + seq_id AS pack_id
+            FROM rec
         """,
     }

@@ -1,0 +1,156 @@
+"""Corpus-management operators for training-data pipelines: deterministic
+splits, C4-style quality filtering, and sequence packing.
+
+The reference has no analogue (it forwards bytes); these are the ops a
+100 TB pre-training corpus runs between dedup and tokenization. Design
+rules shared with the rest of the package: pure JVM expressions wherever
+the semantics allow, engine-portable hashing (md5-derived, so the DuckDB
+oracle value-checks bit for bit), and the one genuinely sequential op
+(next-fit packing) as an Arrow-batched ``applyInPandas`` over independent
+shards — the custom-stateful escape hatch, with a recursive-CTE SQL mirror.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logpipe_spark.operators.dedup import _tokens, base_hash60
+
+
+def split_bucket(key: Column, salt: str = "split", buckets: int = 10000) -> Column:
+    """Deterministic per-key bucket in [0, buckets): md5-derived so any
+    engine reproduces it (never RAND() — resplits must be stable across
+    runs, engines, and row order)."""
+    return base_hash60(F.concat(F.lit(salt + ":"), key.cast("string"))) % buckets
+
+
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every doc a deterministic train/val/test split by hashed key.
+
+    The industry rule for corpus splits: hash the STABLE KEY, not the row —
+    adding or removing other docs never moves a doc across splits (a
+    random() split re-rolls on every change and leaks val into train).
+    Fractions are cumulative thresholds over a 10k-bucket space; the salt
+    namespaces independent split schemes over the same corpus."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    b = split_bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        threshold = int(round(cum * 10000))
+        cond = b < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return docs.withColumn("split", expr)
+
+
+def corpus_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 1_000_000,
+    min_tokens: int = 10,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """C4-style quality gate: keep/drop decision + the FIRST failed rule as
+    ``drop_reason`` (NULL when kept) — the reason column is what makes a
+    filtering pass debuggable at corpus scale (groupBy drop_reason tells
+    you what your thresholds are doing before you burn a full run).
+
+    All rules are single-pass JVM expressions over ``text``; the rule
+    order is the documented evaluation order (cheap length checks before
+    the regex)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    mean_tok = n_chars / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    reason = (
+        F.when(n_chars < min_chars, F.lit("too_short"))
+        .when(n_chars > max_chars, F.lit("too_long"))
+        .when(n_tokens < min_tokens, F.lit("too_few_tokens"))
+        .when(mean_tok < min_mean_token_len, F.lit("tokens_too_short"))
+        .when(mean_tok > max_mean_token_len, F.lit("tokens_too_long"))
+        .when(alpha_ratio < min_alpha_ratio, F.lit("low_alpha_ratio"))
+    )
+    return docs.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("pack_id", T.LongType()),
+    ]
+)
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Next-fit sequence packing: assign docs to ``pack_id`` bins so each
+    bin's token total stays ≤ ``budget`` (a doc larger than the budget
+    gets its own bin) — the pre-training step that fills fixed context
+    windows instead of padding each doc to one.
+
+    Genuinely sequential semantics (each doc's bin depends on the running
+    fill), so the parallel unit is the SHARD: docs hash into ``n_shards``
+    independent streams, each packed in doc-id order by an Arrow-batched
+    ``applyInPandas`` kernel (vectorless python loop over one shard's
+    counts — thousands of ints, not the corpus). pack_id is globally
+    unique as shard * 2^40 + seq. At 100 TB, shards ≈ output training
+    files and the per-shard loop is O(docs/shard) integer ops — the
+    shuffle to shards is the only data movement. Token counts are the
+    whitespace tokenizer's (same as the dedup family), computed JVM-side
+    BEFORE the python kernel so the kernel never touches text.
+
+    Docs with zero tokens are dropped (they pack nowhere); the SQL mirror
+    is a per-shard recursive CTE with identical next-fit arithmetic."""
+    toks = F.size(_tokens(F.col(text_col))).cast("int")
+    keyed = docs.select(
+        F.col(key_col).cast("long").alias("doc_id"),
+        (base_hash60(F.col(key_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+        toks.alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        fill = 0
+        seq = 0
+        out = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                seq += 1
+                fill = 0
+            fill += t
+            out.append(shard * (1 << 40) + seq)
+        pdf["pack_id"] = out
+        return pdf[["doc_id", "shard", "n_tokens", "pack_id"]]
+
+    return keyed.groupBy("shard").applyInPandas(_pack, _PACK_SCHEMA)

@@ -454,3 +454,64 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (iterative) — dedup cluster closure
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected near-dup edge list — the
+    transitive closure the keep-first star rule (``dedup_keep_list``)
+    deliberately skips. Returns (node, component) with component = the
+    minimum doc id reachable from the node.
+
+    Algorithm: min-label propagation to fixpoint — each round every node
+    takes min(own label, neighbors' labels); converges in ≤ graph-diameter
+    rounds. Each round is one join + one groupBy (both on the node id);
+    ``localCheckpoint`` truncates the growing plan lineage each round
+    (iterative DataFrame algorithms otherwise re-derive every prior round
+    at each action). Convergence is detected from sum(label): labels only
+    ever decrease, so an unchanged sum ⇒ fixpoint — one tiny aggregate
+    action per round instead of a change-count join.
+
+    Scale: rounds = component diameter (near-dup clusters are shallow —
+    a handful of rounds); per-round cost is an id-only shuffle. For
+    adversarially deep graphs the production upgrade is the large-star/
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce"), which contracts paths exponentially; the fixture graphs
+    here are shallow and the simple propagation is the clearer reference
+    implementation."""
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))

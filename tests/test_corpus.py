@@ -1,0 +1,119 @@
+"""Corpus-management operators: deterministic splits, quality filter,
+sequence packing, connected components."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.corpus import corpus_filter, hash_split, sequence_pack
+from logpipe_spark.operators.dedup import connected_components
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_hash_split_fractions_and_stability(spark, docs):
+    split = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.9) < 0.05
+    # THE property that matters: dropping other docs never moves a doc's
+    # split (hash of stable key, not row position / corpus content)
+    sub = hash_split(docs.filter(F.col("doc_id") % 3 == 0),
+                     {"train": 0.9, "val": 0.05, "test": 0.05})
+    full = {r["doc_id"]: r["split"] for r in split.collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+    # different salt → different (still deterministic) assignment
+    other = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v2")
+    moved = (
+        split.select("doc_id", "split")
+        .join(other.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_hash_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_corpus_filter_reasons(spark):
+    pdf = pd.DataFrame({
+        "doc_id": range(5),
+        "text": [
+            "short",                                    # too_short
+            "x" * 1001,                                 # too_long (1 token, but length first)
+            "one two three four five " * 20,            # kept
+            "aa " * 60,                                 # kept (mean len ok)
+            "!!! ### $$$ %%% ^^^ &&& *** ((( ))) ___ " * 5,  # low_alpha_ratio
+        ],
+    })
+    out = corpus_filter(
+        spark.createDataFrame(pdf),
+        min_chars=20, max_chars=1000, min_tokens=5,
+        min_mean_token_len=1.5, max_mean_token_len=12.0, min_alpha_ratio=0.5,
+    ).orderBy("doc_id").collect()
+    reasons = [r["drop_reason"] for r in out]
+    keeps = [r["keep"] for r in out]
+    assert reasons[0] == "too_short" and not keeps[0]
+    assert reasons[1] == "too_long" and not keeps[1]
+    assert reasons[2] is None and keeps[2]
+    assert reasons[3] is None and keeps[3]
+    assert reasons[4] == "low_alpha_ratio" and not keeps[4]
+
+
+def test_sequence_pack_invariants(spark, docs):
+    budget = 256
+    packed = sequence_pack(docs, budget=budget, n_shards=4)
+    rows = packed.collect()
+    # every non-empty doc packed exactly once
+    n_nonempty = docs.filter(
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))) >= 1
+    ).count()
+    assert len(rows) == n_nonempty
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # bin budget: no pack exceeds the budget unless it is a single doc
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for pack, toks in by_pack.items():
+        if len(toks) > 1:
+            assert sum(toks) <= budget, f"pack {pack} over budget: {toks}"
+    # pack ids dense per shard (next-fit never skips a bin)
+    for shard in {r["shard"] for r in rows}:
+        seqs = sorted({r["pack_id"] - shard * (1 << 40) for r in rows
+                       if r["shard"] == shard})
+        assert seqs == list(range(len(seqs)))
+    # determinism
+    again = sequence_pack(docs, budget=budget, n_shards=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_connected_components_hand_graph(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame({
+            # chain 1-2-3-4, triangle 10-11-12, pair 20-21, bridge 4-10
+            "doc_a": [1, 2, 3, 10, 11, 10, 20, 4],
+            "doc_b": [2, 3, 4, 11, 12, 12, 21, 10],
+        })
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 11: 1, 12: 1, 20: 20, 21: 20}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    n = 17  # diameter 16 — more rounds than any fixture graph needs
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)})
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges, max_iter=30).collect()}
+    assert set(got.values()) == {0}
