@@ -259,6 +259,7 @@ def main() -> None:
         "dedup_minhash", "minhash_lsh_pairs", "ann_cosine_topk", "tpch_q3",
         "embedding_neardup_lsh", "es_bulk_render", "multimodal_features",
         "text_quality", "dedup_simhash", "dedup_simhash_pairs", "ann_lsh_topk",
+        "tpch_q5", "lead_lag", "hash_split", "corpus_filter", "sequence_pack",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:
