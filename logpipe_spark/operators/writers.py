@@ -189,6 +189,98 @@ def render_es_bulk(
     )
 
 
+def es_bulk_post(
+    batches: DataFrame,
+    url: str,
+    payload_col: str = "payload",
+    timeout_sec: float = 10.0,
+    max_retries: int = 2,
+) -> None:
+    """Transport half of the ES output: POST each rendered ``/_bulk``
+    payload (from ``render_es_bulk``) to ``url`` — EXECUTOR-side
+    (`foreachPartition`), one HTTP connection context per partition, so
+    the driver never sees a payload; this is the fasterhttp POST loop of
+    `logpipe-output-es.c:755-767` with Spark's task retry as the outer
+    reconnect. Delivery is at-least-once (a task that dies mid-partition
+    replays its batches — same contract as the reference's re-send).
+    Per-payload retry with backoff handles transient refusals before
+    escalating to task failure."""
+    def _post_partition(rows):
+        import time as _time
+        import urllib.request
+
+        for r in rows:
+            data = r[payload_col].encode()
+            last = None
+            for attempt in range(max_retries + 1):
+                try:
+                    req = urllib.request.Request(
+                        url,
+                        data=data,
+                        headers={"Content-Type": "application/x-ndjson"},
+                        method="POST",
+                    )
+                    urllib.request.urlopen(req, timeout=timeout_sec).read()
+                    last = None
+                    break
+                except Exception as exc:  # noqa: BLE001 — escalate below
+                    last = exc
+                    _time.sleep(0.1 * (2**attempt))
+            if last is not None:
+                raise last  # task retry takes over
+
+    batches.select(payload_col).foreachPartition(_post_partition)
+
+
+def tcp_sink_send(
+    df: DataFrame,
+    peers: list[tuple[str, int]],
+    text_col: str = "text",
+    connect_timeout: float = 5.0,
+) -> None:
+    """Transport half of output-tcp: line-framed send with ROUND-ROBIN
+    peer selection + FAILOVER (`logpipe-output-tcp.c:120-200`: ip/ip2..8
+    rotation, dead peers skipped). Spark mapping: partition id is the
+    round-robin counter — partition p connects to peers[p % N]; on
+    connect/send failure it fails over to the next peer, full circle
+    before raising (which hands the retry to Spark's task re-execution —
+    the reference's reconnect-with-blacklist loop).
+
+    The partition's lines are materialized before sending so a failover
+    can replay them (the reference equally buffers the block it resends);
+    partitions therefore bound the replay unit, same as its 100 KB block."""
+    def _send(rows):
+        import socket
+
+        from pyspark import TaskContext
+
+        lines = [r[text_col] for r in rows]
+        if not lines:
+            return
+        payload = ("\n".join(lines) + "\n").encode()
+        ctx = TaskContext.get()
+        start = (ctx.partitionId() if ctx else 0) % len(peers)
+        last = None
+        for k in range(len(peers)):
+            host, port = peers[(start + k) % len(peers)]
+            try:
+                with socket.create_connection((host, port), timeout=connect_timeout) as s:
+                    # TCP simultaneous-open guard: connecting to a DEAD
+                    # loopback peer whose port is in the ephemeral range
+                    # can self-connect (source port == destination port,
+                    # Linux loopback quirk) — the send would "succeed"
+                    # into our own buffer and the data silently vanish
+                    if s.getsockname() == s.getpeername():
+                        raise OSError("self-connection detected (dead peer)")
+                    s.sendall(payload)
+                return
+            except OSError as exc:
+                last = exc
+        raise last
+
+    df.select(text_col).foreachPartition(_send)
+
+
 def kafka_sink_writer(df: DataFrame, bootstrap_servers: str, topic: str,
                       key_col: str | None = None, value_col: str = "value"):
     """Kafka producer sink builder (built-in connector; needs a broker +
