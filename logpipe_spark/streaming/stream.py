@@ -95,13 +95,42 @@ def run_stream(
         )
         m = obs.get
         spark = batch_df.sparkSession
-        (
-            spark.createDataFrame(
-                [(int(batch_id), m["rows_in"], m["parsed"], m["routed"], m["dropped"])],
-                "batch_id long, rows_in long, parsed long, routed long, dropped long",
+        ddl = (
+            "batch_id long, partition_id int, rows_in long, parsed long, "
+            "routed long, dropped long, sink string, file string"
+        )
+        lineage = spark.createDataFrame(
+            [
+                (
+                    int(batch_id), -1,  # -1 = whole-batch counters
+                    m["rows_in"], m["parsed"], m["routed"], m["dropped"],
+                    None, None,
+                )
+            ],
+            ddl,
+        )
+        if m["routed"]:
+            # per-file granularity from the just-written parquet footers —
+            # same metadata-only pass as batch mode (sinks.file_lineage)
+            from pyspark.sql import functions as F2
+
+            from logpipe_spark.operators.sinks import file_lineage
+
+            per_file = file_lineage(
+                spark, os.path.join(data_root, f"batch={batch_id}")
+            ).select(
+                F2.lit(int(batch_id)).alias("batch_id"),
+                "partition_id",
+                F2.lit(None).cast("long").alias("rows_in"),
+                F2.lit(None).cast("long").alias("parsed"),
+                F2.col("routed").cast("long").alias("routed"),
+                F2.lit(None).cast("long").alias("dropped"),
+                "sink",
+                "file",
             )
-            .write.mode("overwrite")
-            .parquet(os.path.join(lineage_root, f"batch={batch_id}"))
+            lineage = lineage.unionByName(per_file)
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(lineage_root, f"batch={batch_id}")
         )
         seen["batches"] += 1
 

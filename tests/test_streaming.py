@@ -66,7 +66,8 @@ def test_stream_lineage_conservation(spark, stream_env, golden, transcripts_pdf)
     mode: sum(rows_in) == len(input) == sum(routed) + sum(dropped)."""
     _, out = stream_env
     lin = spark.read.parquet(os.path.join(out, "lineage"))
-    agg = lin.agg(
+    totals = lin.filter(F.col("partition_id") == -1)
+    agg = totals.agg(
         F.sum("rows_in").alias("rows_in"),
         F.sum("routed").alias("routed"),
         F.sum("dropped").alias("dropped"),
@@ -76,6 +77,18 @@ def test_stream_lineage_conservation(spark, stream_env, golden, transcripts_pdf)
     assert agg["rows_in"] >= len(transcripts_pdf)
     assert agg["routed"] + agg["dropped"] == agg["rows_in"]
     assert agg["dropped"] >= golden["dropped"]
+    # per-file granularity mirrors batch mode: per-batch sums of the
+    # partition rows equal the observe() totals
+    per_file = lin.filter(F.col("partition_id") >= 0)
+    per_batch = {
+        r["batch_id"]: r["s"]
+        for r in per_file.groupBy("batch_id").agg(F.sum("routed").alias("s")).collect()
+    }
+    tot_batch = {
+        r["batch_id"]: r["routed"]
+        for r in totals.filter(F.col("routed") > 0).collect()
+    }
+    assert per_batch == tot_batch
 
 
 def test_windowed_watermark_stream(spark, transcripts_pdf, tmp_path):
