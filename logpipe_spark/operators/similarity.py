@@ -114,7 +114,7 @@ def ivf_build(
     centers as a python list). At 100 TB the assigned table is written
     partitioned by `cell`, so a query scans nprobe/n_cells of the data."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
     model = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell").fit(vecs)
