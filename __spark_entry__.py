@@ -644,6 +644,26 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured JSON extraction — the log-pipeline staple the
+    reference leaves to downstream consumers (its ES output ships raw
+    `$N`-templated JSON; a Spark engine parses it in place).
+    `get_json_object` (JVM JSON path, no UDF) pulls `props.$.k`, then a
+    grouped aggregate over the extracted value — schema-on-read end to
+    end. Oracle: DuckDB json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def q_lead_lag(spark, sf_dir):
     """§2.5 window-function family beyond rank/row_number: lag/lead over a
     partitioned ordered window (per event_type by (ts, event_id)) — the
@@ -886,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "lead_lag": q_lead_lag,
+        "json_extract": q_json_extract,
         "dedup_components": q_dedup_components,
         "hash_split": q_hash_split,
         "corpus_filter": q_corpus_filter,
@@ -1534,6 +1555,15 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                   COUNT(*) AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+            FROM events
+            GROUP BY event_type, k_bucket
         """,
         "dedup_components": _ngram_pairs_cte().replace(
             "WITH toks", "WITH RECURSIVE toks", 1
