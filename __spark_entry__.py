@@ -265,11 +265,14 @@ def q_set_ops(spark, sf_dir):
     with set semantics — subtract, not exceptAll: the multiset variant
     leaves residual duplicate rows)."""
     ev = _t(spark, sf_dir, "events")
+    # threshold 100, not 190: at sf0.001 the 190 cut produced 0 rows on
+    # both sides — a vacuously-green oracle (the r2 tpch_q3 lesson); 100
+    # yields ≥7 rows at every SF
     buyers = ev.filter(
-        (F.col("event_type") == "purchase") & (F.col("value") > 190)
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
     ).select("user_id").distinct()
     erring = ev.filter(
-        (F.col("event_type") == "error") & (F.col("value") > 190)
+        (F.col("event_type") == "error") & (F.col("value") > 100)
     ).select("user_id").distinct()
     return buyers.subtract(erring)
 
@@ -458,11 +461,14 @@ def q_cube(spark, sf_dir):
 def q_set_intersect(spark, sf_dir):
     """§2.5 INTERSECT: users who both purchased big and errored big."""
     ev = _t(spark, sf_dir, "events")
+    # threshold 100, not 190: at sf0.001 the 190 cut produced 0 rows on
+    # both sides — a vacuously-green oracle (the r2 tpch_q3 lesson); 100
+    # yields ≥7 rows at every SF
     buyers = ev.filter(
-        (F.col("event_type") == "purchase") & (F.col("value") > 190)
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
     ).select("user_id").distinct()
     erring = ev.filter(
-        (F.col("event_type") == "error") & (F.col("value") > 190)
+        (F.col("event_type") == "error") & (F.col("value") > 100)
     ).select("user_id").distinct()
     return buyers.intersect(erring)
 
@@ -1420,10 +1426,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "set_intersect": """
             SELECT DISTINCT user_id FROM events
-            WHERE event_type = 'purchase' AND value > 190
+            WHERE event_type = 'purchase' AND value > 100
             INTERSECT
             SELECT DISTINCT user_id FROM events
-            WHERE event_type = 'error' AND value > 190
+            WHERE event_type = 'error' AND value > 100
         """,
         "percentiles": """
             SELECT event_type,
