@@ -1352,10 +1352,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "set_ops": """
             SELECT DISTINCT user_id FROM events
-            WHERE event_type = 'purchase' AND value > 190
+            WHERE event_type = 'purchase' AND value > 100
             EXCEPT
             SELECT DISTINCT user_id FROM events
-            WHERE event_type = 'error' AND value > 190
+            WHERE event_type = 'error' AND value > 100
         """,
         "orderby_limit": """
             SELECT o_orderkey,
