@@ -26,6 +26,10 @@ salt bounds the worst task deterministically.
 
 from __future__ import annotations
 
+import glob
+import os
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,11 +108,67 @@ def fan_out_write(
     df.write.mode(mode).partitionBy(*parts).parquet(out_dir)
 
 
+def file_lineage_rows(data_dir: str, sink_col: str = "sink") -> list[tuple]:
+    """Per-file routed-row counts from parquet FOOTERS, read driver-side
+    with pyarrow — zero Spark jobs.
+
+    ``fan_out_write``'s (sink, salt)-keyed shuffle bounds the file count at
+    ~sinks × salt_buckets regardless of data size, so after the write the
+    per-file lineage is a handful of footer reads (~KBs each) — launching a
+    Spark job for it costs more than the answer (measured: the distributed
+    variant added ~13 s of cold-JVM WindowExec/metadata-scan codegen to the
+    benched pipeline; this list comprehension adds milliseconds). For a
+    layout whose file count is NOT bounded (no keyed shuffle, object store
+    with thousands of files), use the distributed ``file_lineage`` below.
+
+    Returns [(partition_id, sink, file, routed)] with partition_id a dense
+    0-based index over files ordered by path (same contract as
+    ``file_lineage``). The routed count per file is the footer's num_rows:
+    every row in a ``sink=<name>/`` directory was routed to that sink.
+    """
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    rows = []
+    for i, f in enumerate(files):
+        sink = None
+        for part in os.path.relpath(f, data_dir).split(os.sep):
+            if part.startswith(sink_col + "="):
+                # Spark %-escapes special chars in partition dir names
+                sink = unquote(part.split("=", 1)[1])
+        rows.append((i, sink, f, pq.ParquetFile(f).metadata.num_rows))
+    return rows
+
+
+def source_file_rows(paths: list[str]) -> list[tuple]:
+    """Per-INPUT-file row counts from source parquet footers, driver-side.
+
+    The per-input-split half of SURVEY.md §2.5's lineage requirement
+    (the reference's per-file offset bookkeeping,
+    `logpipe-input-file.c:1901-1925`): rows_in is a physical property of
+    each source file, available from its footer without any data pass.
+    parsed/routed/dropped at input-file granularity would require keying
+    the whole parse→route chain by ``_metadata.file_path`` — a second data
+    pass the reference doesn't do either; those are covered at snapshot
+    granularity by the observe() counters, and the conservation law
+    (sum rows_in = routed + dropped) ties the two granularities together.
+
+    Returns [(partition_id, file, rows_in)] ordered by path."""
+    import pyarrow.parquet as pq
+
+    return [
+        (i, p, pq.ParquetFile(p).metadata.num_rows)
+        for i, p in enumerate(sorted(paths))
+    ]
+
+
 def file_lineage(spark, data_dir: str, sink_col: str = "sink") -> DataFrame:
-    """Per-file routed-row counts over a just-written snapshot directory —
-    the per-partition lineage granularity (SURVEY.md §2.5's
-    ``groupBy(spark_partition_id())`` requirement, re-derived from the
-    OUTPUT instead of a second pass over the source).
+    """Distributed variant of ``file_lineage_rows`` — per-file routed-row
+    counts as a DataFrame, for layouts whose file count is unbounded
+    (object-store listings where a driver-side footer loop would
+    serialize on the driver instead of fanning out).
 
     Cost model: the grouping keys are ``_metadata.file_path`` (file-level
     constant) and the ``sink`` directory-partition column, so the scan's

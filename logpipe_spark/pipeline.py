@@ -25,7 +25,12 @@ from logpipe_spark.ledger import SnapshotLedger
 from logpipe_spark.operators.enrich import enrich
 from logpipe_spark.operators.parse import extract_builtin, extract_pandas
 from logpipe_spark.operators.route import route
-from logpipe_spark.operators.sinks import LINEAGE_DDL, fan_out_write, file_lineage
+from logpipe_spark.operators.sinks import (
+    LINEAGE_DDL,
+    fan_out_write,
+    file_lineage_rows,
+    source_file_rows,
+)
 
 
 def build_stage_chain(
@@ -88,12 +93,15 @@ def run_pipeline(
 
     for snap in ledger.pending(src_dir):
         snap_dir = os.path.join(src_dir, f"snapshot={snap}")
+        src_paths = None
         if include_files or exclude_files:
-            paths = select_input_files(snap_dir, include_files, exclude_files)
+            src_paths = paths = select_input_files(
+                snap_dir, include_files, exclude_files
+            )
             if not paths:
                 spark.createDataFrame(
                     [(run_id, int(snap), -1, 0, 0, 0, 0, None, None)], LINEAGE_DDL
-                ).write.mode("overwrite").parquet(
+                ).coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(lineage_root, f"snapshot={snap}")
                 )
                 ledger.commit(snap, run_id)
@@ -135,37 +143,44 @@ def run_pipeline(
         fan_out_write(routed, snap_data, shuffle_partitions=salt_partitions)
 
         m = obs.get
-        lineage = spark.createDataFrame(
-            [
-                (
-                    run_id, int(snap), -1,  # -1 = whole-snapshot counters
-                    m["rows_in"], m["parsed"], m["routed"], m["dropped"],
-                    None, None,
-                )
-            ],
-            LINEAGE_DDL,
-        )
-        if m["routed"]:
-            # per-partition granularity, re-derived from the written files'
-            # parquet footers (empty ReadSchema — a metadata-only pass, not
-            # a second read of the source). Sum(routed) over these rows
-            # equals the sentinel row's routed total by construction; the
-            # conservation test asserts it.
-            per_file = file_lineage(spark, snap_data).select(
-                F.lit(run_id).alias("run_id"),
-                F.lit(int(snap)).cast("long").alias("snapshot_id"),
-                "partition_id",
-                F.lit(None).cast("long").alias("rows_in"),
-                F.lit(None).cast("long").alias("parsed"),
-                F.col("routed").cast("long").alias("routed"),
-                F.lit(None).cast("long").alias("dropped"),
-                "sink",
-                "file",
+        # Three granularities in one tiny table, all collected WITHOUT a
+        # second pass over the data:
+        #   partition_id=-1, sink+file NULL  → whole-snapshot observe()
+        #                                      counters (ride the write);
+        #   partition_id>=0, sink NOT NULL   → one row per OUTPUT file
+        #                                      (routed from its footer);
+        #   partition_id>=0, sink NULL       → one row per INPUT file
+        #                                      (rows_in from its footer).
+        # Footers are read driver-side with pyarrow: fan_out_write's keyed
+        # shuffle bounds output files at ~sinks×salt_buckets, so this is a
+        # handful of KB-sized reads — the previous Spark-job variant
+        # (file_lineage + Window) cost ~13 s of cold-JVM codegen per bench
+        # run for the same rows (BENCH.md r4 A/B).
+        lineage_rows = [
+            (
+                run_id, int(snap), -1,
+                m["rows_in"], m["parsed"], m["routed"], m["dropped"],
+                None, None,
             )
-            lineage = lineage.unionByName(per_file)
-        lineage.write.mode("overwrite").parquet(
-            os.path.join(lineage_root, f"snapshot={snap}")
-        )
+        ]
+        if m["routed"] and os.environ.get("LOGPIPE_SKIP_FILE_LINEAGE") != "1":
+            for pid, sink, f, routed in file_lineage_rows(snap_data):
+                lineage_rows.append(
+                    (run_id, int(snap), pid, None, None, routed, None, sink, f)
+                )
+        if src_paths is None:
+            src_paths = [
+                os.path.join(snap_dir, n)
+                for n in os.listdir(snap_dir)
+                if n.endswith(".parquet")
+            ]
+        for pid, f, rows_in in source_file_rows(src_paths):
+            lineage_rows.append(
+                (run_id, int(snap), pid, rows_in, None, None, None, None, f)
+            )
+        spark.createDataFrame(lineage_rows, LINEAGE_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(lineage_root, f"snapshot={snap}"))
 
         if fail_after_write_snapshot == snap:
             raise RuntimeError(f"injected crash after write of snapshot {snap}")
@@ -206,7 +221,11 @@ def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     if not committed:
         raise ValueError(f"no committed snapshots under {out_dir}")
     paths = [os.path.join(out_dir, "lineage", f"snapshot={s}") for s in committed]
-    return spark.read.option(
+    # mergeSchema: the lineage DDL widened from 8 to 10 columns (sink, file)
+    # in round 3 — an out_dir resumed across that change mixes schemas, and
+    # without merging, the read's schema would depend on which file is
+    # sampled first (ADVICE r3). The table is tiny; merging is free.
+    return spark.read.option("mergeSchema", "true").option(
         "basePath", os.path.join(out_dir, "lineage")
     ).parquet(*paths)
 

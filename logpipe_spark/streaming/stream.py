@@ -110,26 +110,24 @@ def run_stream(
             ddl,
         )
         if m["routed"]:
-            # per-file granularity from the just-written parquet footers —
-            # same metadata-only pass as batch mode (sinks.file_lineage)
-            from pyspark.sql import functions as F2
+            # per-file granularity from the just-written parquet footers,
+            # read driver-side with pyarrow (sinks.file_lineage_rows) —
+            # the file count is bounded by sinks × upstream partitions per
+            # micro-batch, so a Spark job per batch would cost more than
+            # the answer (same A/B as the batch pipeline, BENCH.md r4)
+            from logpipe_spark.operators.sinks import file_lineage_rows
 
-            from logpipe_spark.operators.sinks import file_lineage
-
-            per_file = file_lineage(
-                spark, os.path.join(data_root, f"batch={batch_id}")
-            ).select(
-                F2.lit(int(batch_id)).alias("batch_id"),
-                "partition_id",
-                F2.lit(None).cast("long").alias("rows_in"),
-                F2.lit(None).cast("long").alias("parsed"),
-                F2.col("routed").cast("long").alias("routed"),
-                F2.lit(None).cast("long").alias("dropped"),
-                "sink",
-                "file",
+            per_file = spark.createDataFrame(
+                [
+                    (int(batch_id), pid, None, None, routed, None, sink, f)
+                    for pid, sink, f, routed in file_lineage_rows(
+                        os.path.join(data_root, f"batch={batch_id}")
+                    )
+                ],
+                ddl,
             )
             lineage = lineage.unionByName(per_file)
-        lineage.write.mode("overwrite").parquet(
+        lineage.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(lineage_root, f"batch={batch_id}")
         )
         seen["batches"] += 1

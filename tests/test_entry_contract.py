@@ -70,6 +70,21 @@ def test_query_vs_oracle(spark, duck, name):
         f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
     )
     g, e = _normalize(got), _normalize(exp)
+    # the driver's value-hash renders int64 and float64 differently, so an
+    # int-typed Spark column vs a float-typed oracle column (e.g. DuckDB
+    # SUM(BIGINT) → HUGEINT → float64 in fetchdf, the r3 json_extract fail)
+    # must be an error here even though values compare equal numerically
+    for c in g.columns:
+        g_int = pd.api.types.is_integer_dtype(g[c])
+        e_int = pd.api.types.is_integer_dtype(e[c])
+        g_flt = pd.api.types.is_float_dtype(g[c])
+        e_flt = pd.api.types.is_float_dtype(e[c])
+        assert not (g_int and e_flt) and not (g_flt and e_int), (
+            f"{name}.{c}: int/float dtype mismatch (spark "
+            f"{g[c].dtype} vs oracle {e[c].dtype}) — wrap the oracle "
+            f"aggregate in CAST(... AS BIGINT/DOUBLE); the driver's value "
+            f"hash would mismatch"
+        )
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False,
                                   rtol=1e-9, atol=1e-12)
 

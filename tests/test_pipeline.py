@@ -78,11 +78,28 @@ def test_lineage_conservation(spark, pipe_out, golden, transcripts_pdf):
     assert agg["routed"] == sum(golden["sink_counts"].values())
 
     # per-partition granularity (SURVEY.md §2.5): real partition_id rows,
-    # one per written file, whose routed sums equal the observe() totals —
-    # both overall and per snapshot
-    per_part = lin.filter(F.col("partition_id") >= 0)
+    # one per written OUTPUT file (sink set), whose routed sums equal the
+    # observe() totals — both overall and per snapshot; plus one row per
+    # INPUT file (sink NULL) carrying rows_in from the source footer
+    per_part = lin.filter((F.col("partition_id") >= 0) & F.col("sink").isNotNull())
     assert per_part.count() > 0
-    assert per_part.filter(F.col("sink").isNull() | F.col("file").isNull()).count() == 0
+    assert per_part.filter(F.col("file").isNull()).count() == 0
+
+    # input-file granularity: per-snapshot sum(rows_in) over source-file
+    # rows equals the snapshot sentinel's rows_in (conservation at the
+    # input edge, the reference's per-file offset bookkeeping)
+    src_rows = lin.filter((F.col("partition_id") >= 0) & F.col("sink").isNull())
+    assert src_rows.count() > 0
+    assert src_rows.filter(F.col("file").isNull() | F.col("rows_in").isNull()).count() == 0
+    src_snap = {
+        r["snapshot_id"]: r["s"]
+        for r in src_rows.groupBy("snapshot_id").agg(F.sum("rows_in").alias("s")).collect()
+    }
+    in_snap = {
+        r["snapshot_id"]: r["rows_in"]
+        for r in totals.collect()
+    }
+    assert src_snap == in_snap
     per_snap = {
         r["snapshot_id"]: r["s"]
         for r in per_part.groupBy("snapshot_id").agg(F.sum("routed").alias("s")).collect()
