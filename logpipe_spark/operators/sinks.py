@@ -142,6 +142,40 @@ def file_lineage_rows(data_dir: str, sink_col: str = "sink") -> list[tuple]:
     return rows
 
 
+_ARROW_TYPES = {"string": "string", "long": "int64", "int": "int32"}
+
+
+def write_lineage_parquet(rows: list[tuple], ddl: str, path: str) -> None:
+    """Write a tiny lineage table driver-side with pyarrow — overwrite
+    semantics (the dir is replaced).
+
+    A ~50-row metadata artifact does not need a Spark job: a
+    ``coalesce(1)`` write of a parallelized local collection runs ONE
+    python worker over all N input partitions sequentially (measured
+    4.7 s for 50 rows at local[32]; this is ~5 ms). Crash-safety is
+    unchanged: the snapshot ledger commits AFTER this write, so a partial
+    file from a crash is overwritten wholesale on resume."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    for spec in ddl.split(","):
+        name, typ = spec.strip().split()
+        fields.append(pa.field(name, _ARROW_TYPES[typ]))
+    schema = pa.schema(fields)
+    cols = list(zip(*rows)) if rows else [[]] * len(fields)
+    arrays = [
+        pa.array(list(c), type=f.type) for c, f in zip(cols, schema)
+    ]
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(arrays, schema=schema), os.path.join(path, "part-00000.parquet")
+    )
+
+
 def source_file_rows(paths: list[str]) -> list[tuple]:
     """Per-INPUT-file row counts from source parquet footers, driver-side.
 

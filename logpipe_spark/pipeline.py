@@ -30,6 +30,7 @@ from logpipe_spark.operators.sinks import (
     fan_out_write,
     file_lineage_rows,
     source_file_rows,
+    write_lineage_parquet,
 )
 
 
@@ -99,10 +100,10 @@ def run_pipeline(
                 snap_dir, include_files, exclude_files
             )
             if not paths:
-                spark.createDataFrame(
-                    [(run_id, int(snap), -1, 0, 0, 0, 0, None, None)], LINEAGE_DDL
-                ).coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(lineage_root, f"snapshot={snap}")
+                write_lineage_parquet(
+                    [(run_id, int(snap), -1, 0, 0, 0, 0, None, None)],
+                    LINEAGE_DDL,
+                    os.path.join(lineage_root, f"snapshot={snap}"),
                 )
                 ledger.commit(snap, run_id)
                 processed.append(snap)
@@ -164,9 +165,9 @@ def run_pipeline(
             )
         ]
         if m["routed"] and os.environ.get("LOGPIPE_SKIP_FILE_LINEAGE") != "1":
-            for pid, sink, f, routed in file_lineage_rows(snap_data):
+            for pid, sink, f, n_routed in file_lineage_rows(snap_data):
                 lineage_rows.append(
-                    (run_id, int(snap), pid, None, None, routed, None, sink, f)
+                    (run_id, int(snap), pid, None, None, n_routed, None, sink, f)
                 )
         if src_paths is None:
             src_paths = [
@@ -178,9 +179,10 @@ def run_pipeline(
             lineage_rows.append(
                 (run_id, int(snap), pid, rows_in, None, None, None, None, f)
             )
-        spark.createDataFrame(lineage_rows, LINEAGE_DDL).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(lineage_root, f"snapshot={snap}"))
+        write_lineage_parquet(
+            lineage_rows, LINEAGE_DDL,
+            os.path.join(lineage_root, f"snapshot={snap}"),
+        )
 
         if fail_after_write_snapshot == snap:
             raise RuntimeError(f"injected crash after write of snapshot {snap}")

@@ -94,21 +94,17 @@ def run_stream(
             .parquet(os.path.join(data_root, f"batch={batch_id}"))
         )
         m = obs.get
-        spark = batch_df.sparkSession
         ddl = (
             "batch_id long, partition_id int, rows_in long, parsed long, "
             "routed long, dropped long, sink string, file string"
         )
-        lineage = spark.createDataFrame(
-            [
-                (
-                    int(batch_id), -1,  # -1 = whole-batch counters
-                    m["rows_in"], m["parsed"], m["routed"], m["dropped"],
-                    None, None,
-                )
-            ],
-            ddl,
-        )
+        lineage_rows = [
+            (
+                int(batch_id), -1,  # -1 = whole-batch counters
+                m["rows_in"], m["parsed"], m["routed"], m["dropped"],
+                None, None,
+            )
+        ]
         if m["routed"]:
             # per-file granularity from the just-written parquet footers,
             # read driver-side with pyarrow (sinks.file_lineage_rows) —
@@ -117,18 +113,18 @@ def run_stream(
             # the answer (same A/B as the batch pipeline, BENCH.md r4)
             from logpipe_spark.operators.sinks import file_lineage_rows
 
-            per_file = spark.createDataFrame(
-                [
-                    (int(batch_id), pid, None, None, routed, None, sink, f)
-                    for pid, sink, f, routed in file_lineage_rows(
-                        os.path.join(data_root, f"batch={batch_id}")
-                    )
-                ],
-                ddl,
-            )
-            lineage = lineage.unionByName(per_file)
-        lineage.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(lineage_root, f"batch={batch_id}")
+            lineage_rows += [
+                (int(batch_id), pid, None, None, routed, None, sink, f)
+                for pid, sink, f, routed in file_lineage_rows(
+                    os.path.join(data_root, f"batch={batch_id}")
+                )
+            ]
+        # driver-side pyarrow write: a per-batch Spark job for ~10 rows of
+        # metadata would dominate micro-batch latency (see sinks.py)
+        from logpipe_spark.operators.sinks import write_lineage_parquet
+
+        write_lineage_parquet(
+            lineage_rows, ddl, os.path.join(lineage_root, f"batch={batch_id}")
         )
         seen["batches"] += 1
 
