@@ -496,6 +496,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -512,6 +513,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # truncated labels are WRONG (nodes > max_iter hops from their
+        # component's minimum still carry a stale label) — never return
+        # them silently (ADVICE r3); raise so the caller re-runs with a
+        # higher budget or switches to large-star/small-star
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds (graph diameter exceeds the budget); raise max_iter or "
+            f"use a star-contraction variant for deep graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))

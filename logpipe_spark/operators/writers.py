@@ -249,6 +249,11 @@ def tcp_sink_send(
     The partition's lines are materialized before sending so a failover
     can replay them (the reference equally buffers the block it resends);
     partitions therefore bound the replay unit, same as its 100 KB block."""
+    if not peers:
+        # validate driver-side: an empty rotation would otherwise surface
+        # as a ZeroDivisionError inside every executor task (ADVICE r3)
+        raise ValueError("tcp_sink_send requires at least one (host, port) peer")
+
     def _send(rows):
         import socket
 
@@ -281,17 +286,30 @@ def tcp_sink_send(
     df.select(text_col).foreachPartition(_send)
 
 
+def kafka_render(df: DataFrame, key_col: str | None = None,
+                 value_col: str = "value") -> DataFrame:
+    """Wire-schema half of output-kafka: project to the connector's
+    required ``(key?, value)`` string columns. Mirrors the reference's
+    producer payload (`logpipe-output-kafka.c:259,298`: the raw line is
+    the record value; partition unassigned — i.e. no key — unless
+    configured). This half is fully testable without a broker
+    (tests/test_transports.py); the transport half below hands the
+    projection to Spark's built-in kafka connector."""
+    return df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        F.col(value_col).cast("string").alias("value"),
+    )
+
+
 def kafka_sink_writer(df: DataFrame, bootstrap_servers: str, topic: str,
                       key_col: str | None = None, value_col: str = "value"):
     """Kafka producer sink builder (built-in connector; needs a broker +
-    the kafka package at runtime). Unassigned partition like the reference
-    (`logpipe-output-kafka.c:259`) unless a key column is given."""
-    out = df.select(
-        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
-        F.col(value_col).cast("string").alias("value"),
-    )
+    the spark-sql-kafka package at runtime — neither exists in this
+    sandbox, so .save() raising is itself seam-tested). Unassigned
+    partition like the reference (`logpipe-output-kafka.c:259`) unless a
+    key column is given."""
     return (
-        out.write.format("kafka")
+        kafka_render(df, key_col, value_col).write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
     )

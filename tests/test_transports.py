@@ -173,3 +173,50 @@ def test_tcp_sink_round_robin_and_failover(spark):
         assert sorted(p2.lines) == sorted(texts)
     finally:
         p1.stop(), p2.stop()
+
+
+def test_tcp_sink_empty_peers_raises_driver_side(spark):
+    """An empty rotation must fail fast on the driver with a clear error,
+    not as a ZeroDivisionError inside executor tasks (ADVICE r3)."""
+    df = spark.createDataFrame(pd.DataFrame({"text": ["x"]}))
+    with pytest.raises(ValueError, match="at least one"):
+        tcp_sink_send(df, [])
+
+
+def test_kafka_render_wire_schema(spark):
+    """output-kafka's renderable half, broker-free: the projection must
+    match the connector's wire contract — a string `value` column, plus a
+    string `key` only when configured (logpipe-output-kafka.c:259,298:
+    raw line as value, unassigned partition without a key)."""
+    from logpipe_spark.operators.writers import kafka_render
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a", "b"], "text": ["x1", "x2"], "n": [1, 2]})
+    )
+    keyless = kafka_render(df, value_col="text")
+    assert [(f.name, f.dataType.simpleString()) for f in keyless.schema.fields] == [
+        ("value", "string")
+    ]
+    assert [r["value"] for r in keyless.orderBy("value").collect()] == ["x1", "x2"]
+
+    keyed = kafka_render(df, key_col="conv_id", value_col="text")
+    assert [(f.name, f.dataType.simpleString()) for f in keyed.schema.fields] == [
+        ("key", "string"), ("value", "string")
+    ]
+    assert [(r["key"], r["value"]) for r in keyed.orderBy("key").collect()] == [
+        ("a", "x1"), ("b", "x2")
+    ]
+
+
+def test_kafka_transport_halves_are_gated_in_sandbox(spark):
+    """The transport halves need the spark-sql-kafka connector + a broker,
+    neither present here: starting them must raise a clear error (the
+    builder itself — option plumbing — must construct fine). If this test
+    ever fails because .save() SUCCEEDED, the sandbox gained a broker and
+    the seam should get a live loopback test like output-es/output-tcp."""
+    from logpipe_spark.operators.writers import kafka_sink_writer
+
+    df = spark.createDataFrame(pd.DataFrame({"value": ["v"]}))
+    writer = kafka_sink_writer(df, "localhost:9092", "t")  # builder OK
+    with pytest.raises(Exception):
+        writer.save()
