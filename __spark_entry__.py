@@ -792,8 +792,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # cache key fingerprints the FIXTURE (size+mtime), not just the sf
+    # name — a regenerated embeddings table must invalidate the index, or
+    # the query would silently rank against a stale corpus
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
     sf = _os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/logpipe_contract_cache/ann_lsh_index_v1_{sf}"
+    path = (
+        f"/tmp/logpipe_contract_cache/ann_lsh_index_v1_{sf}"
+        f"_{st.st_size}_{int(st.st_mtime)}"
+    )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         orig = emb.filter(F.col("vec_id") != 0).select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -809,7 +816,17 @@ def q_ann_lsh_topk(spark, sf_dir):
                 lambda x, i: x * (1 + F.lit(0.002) * F.col("j") * (1 - 2 * (i % 2))),
             ).alias("embedding"),
         )
-        write_lsh_index(orig.unionByName(planted), path, bits=16, prefix_bits=8)
+        # build into a private dir, publish with an atomic rename: two
+        # racing builders (pytest + bench + the driver harness share /tmp)
+        # must never interleave writes into the dir a reader is scanning
+        build = f"{path}.build-{_os.getpid()}"
+        write_lsh_index(orig.unionByName(planted), build, bits=16, prefix_bits=8)
+        try:
+            _os.rename(build, path)
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.rmtree(build, ignore_errors=True)  # lost the race: equal index published
     qv = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]

@@ -497,7 +497,11 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
-    for _ in range(max_iter):
+    # max_iter bounds the CHANGING rounds (≤ graph diameter); the +1 is the
+    # confirming round that observes no change — so max_iter == diameter is
+    # sufficient, matching the docstring (a fixpoint reached on exactly the
+    # max_iter-th round must not raise)
+    for _ in range(max_iter + 1):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy(F.col("src").alias("node"))

@@ -63,6 +63,7 @@ def run_pipeline(
     include_files: list[str] | None = None,
     exclude_files: list[str] | None = None,
     min_input_partitions: int | None = 0,
+    per_file_lineage: bool = True,
 ) -> dict:
     """Process every pending snapshot under ``src_dir`` exactly once.
 
@@ -81,6 +82,18 @@ def run_pipeline(
 
     ``fail_after_write_snapshot``: test hook — raise after writing (before
     committing) that snapshot, simulating a worker crash at the worst moment.
+
+    ``per_file_lineage``: include the per-OUTPUT-file rows (read from the
+    written parquet footers). Snapshot totals and per-INPUT-file rows are
+    always written. Explicit kwarg, not ambient env, so a bench A/B can't
+    leak into production behavior.
+
+    Path contract: ``src_dir``/``out_dir`` must be POSIX-visible — the
+    snapshot ledger itself is os-level (see ledger.py; the documented
+    object-store swap is an Iceberg catalog, which replaces the ledger AND
+    the footer reads wholesale). The driver-side pyarrow footer reads
+    share that contract; the distributed ``operators.sinks.file_lineage``
+    exists for layouts where it doesn't hold.
 
     Returns {run_id, processed: [snapshot ids], lineage_rows: int}.
     """
@@ -164,16 +177,20 @@ def run_pipeline(
                 None, None,
             )
         ]
-        if m["routed"] and os.environ.get("LOGPIPE_SKIP_FILE_LINEAGE") != "1":
+        if m["routed"] and per_file_lineage:
             for pid, sink, f, n_routed in file_lineage_rows(snap_data):
                 lineage_rows.append(
                     (run_id, int(snap), pid, None, None, n_routed, None, sink, f)
                 )
         if src_paths is None:
+            # mirror Spark's data-file rule: everything except hidden and
+            # metadata files counts (a parquet part without the .parquet
+            # suffix is still read by the scan, so it must appear in the
+            # input-edge lineage or conservation breaks)
             src_paths = [
                 os.path.join(snap_dir, n)
                 for n in os.listdir(snap_dir)
-                if n.endswith(".parquet")
+                if not n.startswith((".", "_"))
             ]
         for pid, f, rows_in in source_file_rows(src_paths):
             lineage_rows.append(

@@ -105,7 +105,14 @@ def run_stream(
                 None, None,
             )
         ]
-        if m["routed"]:
+        batch_data = os.path.join(data_root, f"batch={batch_id}")
+        batch_lineage = os.path.join(lineage_root, f"batch={batch_id}")
+        # unlike the batch pipeline (whose ledger pins out_dir to a POSIX
+        # path), streaming writes through Hadoop FS — driver-side pyarrow
+        # only applies to local dirs; any scheme'd path keeps the
+        # distributed metadata-only pass
+        local = "://" not in out_dir or out_dir.startswith("file:")
+        if m["routed"] and local:
             # per-file granularity from the just-written parquet footers,
             # read driver-side with pyarrow (sinks.file_lineage_rows) —
             # the file count is bounded by sinks × upstream partitions per
@@ -115,17 +122,32 @@ def run_stream(
 
             lineage_rows += [
                 (int(batch_id), pid, None, None, routed, None, sink, f)
-                for pid, sink, f, routed in file_lineage_rows(
-                    os.path.join(data_root, f"batch={batch_id}")
-                )
+                for pid, sink, f, routed in file_lineage_rows(batch_data)
             ]
-        # driver-side pyarrow write: a per-batch Spark job for ~10 rows of
-        # metadata would dominate micro-batch latency (see sinks.py)
-        from logpipe_spark.operators.sinks import write_lineage_parquet
+        if local:
+            # driver-side pyarrow write: a per-batch Spark job for ~10
+            # rows of metadata would dominate micro-batch latency
+            from logpipe_spark.operators.sinks import write_lineage_parquet
 
-        write_lineage_parquet(
-            lineage_rows, ddl, os.path.join(lineage_root, f"batch={batch_id}")
-        )
+            write_lineage_parquet(lineage_rows, ddl, batch_lineage)
+        else:
+            from logpipe_spark.operators.sinks import file_lineage
+
+            spark = batch_df.sparkSession
+            lineage = spark.createDataFrame(lineage_rows, ddl)
+            if m["routed"]:
+                per_file = file_lineage(spark, batch_data).select(
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    "partition_id",
+                    F.lit(None).cast("long").alias("rows_in"),
+                    F.lit(None).cast("long").alias("parsed"),
+                    F.col("routed").cast("long").alias("routed"),
+                    F.lit(None).cast("long").alias("dropped"),
+                    "sink",
+                    "file",
+                )
+                lineage = lineage.unionByName(per_file)
+            lineage.write.mode("overwrite").parquet(batch_lineage)
         seen["batches"] += 1
 
     writer = (

@@ -3,6 +3,9 @@
 same invocation as bench.py's fanout section, toggling the per-file
 lineage block via LOGPIPE_SKIP_FILE_LINEAGE=1 (temporary env hook).
 
+(Historical note: the r4 A/B originally toggled an env var; run_pipeline
+now takes an explicit per_file_lineage kwarg.)
+
 Usage: python scripts/ab_fanout.py [reps]
 """
 import os
@@ -43,13 +46,11 @@ def main():
 
     results = {}
     for mode in ("with_lineage", "skip_lineage") * reps:
-        os.environ["LOGPIPE_SKIP_FILE_LINEAGE"] = (
-            "1" if mode == "skip_lineage" else "0"
-        )
         shutil.rmtree(wout, ignore_errors=True)
         t0 = time.perf_counter()
         run_pipeline(spark, wsrc, wout, dim, default_route_rules(),
-                     salt_partitions=32)
+                     salt_partitions=32,
+                     per_file_lineage=(mode == "with_lineage"))
         dt = time.perf_counter() - t0
         results.setdefault(mode, []).append(round(dt, 3))
         print(f"{mode}: {dt:.3f}s", flush=True)

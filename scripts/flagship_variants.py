@@ -22,6 +22,8 @@ SRC = "/tmp/logpipe_bench_cache/transcripts_big384_96000000"
 
 
 def agg_base(routed):
+    # mirrors bench.run_flagship's aggregate — if that changes, update this
+    # (the variants below perturb one term at a time, so they can't import it)
     return routed.groupBy("sink").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).alias("chars"),

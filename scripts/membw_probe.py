@@ -1,42 +1,17 @@
 #!/usr/bin/env python
 """Probe: how does streaming memory bandwidth scale with process count on
-this host? Fixed total traffic split over N worker processes, each touching
-its own private array (allocated once in the pool initializer, excluded
-from timing). Prints GB/s at each width and the 4x efficiencies."""
-import multiprocessing as mp
-import time
+this host? Thin wrapper over bench.py's run_membw (SINGLE implementation —
+the probe and the recorded artifact control must measure the same thing).
+Prints GB/s at each width and the 4x efficiencies."""
+import os
+import sys
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ARR_MB = 256          # per-process private array
-UNITS = 64            # fixed total work units across all widths
-PASSES_PER_UNIT = 4   # each unit streams ARR_MB * PASSES bytes
-
-_arr = None
-
-
-def _init():
-    global _arr
-    _arr = np.random.default_rng(0).random(ARR_MB * 1024 * 1024 // 8)
-
-
-def _unit(_):
-    s = 0.0
-    for _ in range(PASSES_PER_UNIT):
-        s += float(np.add.reduce(_arr))
-    return s
-
-
-def run_membw(procs: int) -> float:
-    with mp.Pool(procs, initializer=_init) as pool:
-        pool.map(_unit, [0] * procs)  # warm (faults the pages in)
-        t0 = time.perf_counter()
-        pool.map(_unit, [0] * UNITS)
-        return time.perf_counter() - t0
-
+from bench import MEMBW_ARR_MB, MEMBW_PASSES, MEMBW_UNITS, run_membw  # noqa: E402
 
 if __name__ == "__main__":
-    total_gb = UNITS * PASSES_PER_UNIT * ARR_MB / 1024
+    total_gb = MEMBW_UNITS * MEMBW_PASSES * MEMBW_ARR_MB / 1024
     secs = {}
     for procs in (2, 4, 8, 16, 32, 8, 32):  # revisit 8/32 for drift
         dt = run_membw(procs)

@@ -17,9 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from logpipe_spark.fixtures import default_route_rules, gen_tool_role_dim  # noqa: E402
 from logpipe_spark.operators.parse import extract_builtin  # noqa: E402
-from logpipe_spark.pipeline import build_stage_chain  # noqa: E402
 from logpipe_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("STAGE_SRC", "/tmp/logpipe_bench_cache/transcripts_big384_96000000")
@@ -30,7 +28,6 @@ def main():
     spark = get_spark(cores=cores, app_name=f"stage_scaling_{cores}",
                       shuffle_partitions=cores)
     df = spark.read.parquet(SRC)
-    dim = spark.createDataFrame(gen_tool_role_dim())
 
     def scan():
         df.agg(F.sum(F.length("text")), F.max("turn_idx")).collect()
@@ -42,17 +39,10 @@ def main():
               F.sum("n_fields")).collect()
 
     def full():
-        routed = build_stage_chain(df, dim, default_route_rules())
-        routed.groupBy("sink").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.length("text")).alias("chars"),
-            F.count("tool_called").alias("n_calls"),
-            F.sum("error_code").alias("err_sum"),
-            F.max("meta_offset").alias("max_off"),
-            F.sum("n_fields").alias("fields"),
-            F.countDistinct("tool_family").alias("fams"),
-            F.max("priority").alias("max_prio"),
-        ).collect()
+        # the benched flagship itself (single source of truth in bench.py)
+        import bench
+
+        bench.run_flagship(spark, SRC)
 
     for name, fn in (("scan", scan), ("parse", parse), ("full", full)):
         fn()  # warm

@@ -121,10 +121,15 @@ def test_connected_components_converges_on_long_chain(spark):
 
 def test_connected_components_raises_when_budget_too_small(spark):
     """Truncated labels are wrong labels — a diameter beyond max_iter must
-    raise, never silently return an unconverged labeling (ADVICE r3)."""
-    n = 9  # diameter 8 > max_iter=2
+    raise, never silently return an unconverged labeling (ADVICE r3).
+    max_iter bounds the CHANGING rounds, so max_iter == diameter succeeds
+    (the confirming no-change round is free)."""
+    n = 9  # diameter 8
     edges = spark.createDataFrame(
         pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)})
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, max_iter=8).collect()}
+    assert set(got.values()) == {0}
