@@ -1,0 +1,104 @@
+"""logpipe.conf compatibility: the reference's OWN shipped config files
+(conf/*.conf — fasterjson dialect with // comments and bare unit scalars)
+must parse, translate to runnable specs / sink options, and execute."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.ledger import write_snapshots
+from logpipe_spark.pipeline import read_sinks
+from logpipe_spark.plans.conf_compat import (
+    parse_logpipe_conf,
+    translate_logpipe_conf,
+)
+
+CONF_DIR = "/root/reference/conf"
+
+
+def _conf(name: str) -> str:
+    with open(os.path.join(CONF_DIR, name)) as f:
+        return f.read()
+
+
+def test_every_shipped_conf_parses_and_translates():
+    """All 14 shipped confs go through without an exception — nothing the
+    reference ships is outside the dialect or the plugin map."""
+    names = sorted(n for n in os.listdir(CONF_DIR) if n.endswith(".conf"))
+    assert len(names) >= 10
+    for name in names:
+        t = translate_logpipe_conf(_conf(name))
+        # no conf may fall through the plugin map unrecognized
+        assert not [w for w in t.warnings if "unknown" in w], (name, t.warnings)
+
+
+def test_case0_file_to_file_runs_end_to_end(spark, transcripts_pdf, rules,
+                                            tmp_path):
+    """case0: input-file (exclude_files glob) → output-file. Translated
+    spec runs the real pipeline on fixture snapshots; every row lands in
+    the single catch-all sink named after the output path."""
+    src = str(tmp_path / "src")
+    write_snapshots(transcripts_pdf, src, n_snapshots=2)
+    t = translate_logpipe_conf(
+        _conf("logpipe_case0_input_file_and_output_file.conf"),
+        source_dir=src,
+        out_dir=str(tmp_path / "out"),
+    )
+    assert t.spec is not None
+    assert t.spec.exclude_files == ["*.log.*"]  # carried from the conf
+    assert t.spec.rules[0]["sink"] == "log3"  # basename of the C-side path
+    res = t.spec.run(spark)
+    assert res["processed"] == [0, 1]
+    got = read_sinks(spark, t.spec.out_dir)
+    assert got.filter(F.col("sink") == "log3").count() == len(transcripts_pdf)
+
+
+def test_case7_bare_unit_scalars_and_ingeek():
+    """case7 uses fasterjson's bare unit tokens (10ms) — strict JSON
+    rejects the file; the dialect parser must not."""
+    text = _conf("logpipe_case7_input_file_and_output_ingeek.conf")
+    with pytest.raises(Exception):
+        import json
+
+        json.loads(text)
+    cfg = parse_logpipe_conf(text)
+    assert cfg["inputs"][0]["min_usleep_interval"] == "10ms"
+    t = translate_logpipe_conf(text)
+    assert t.ingeek == {"ip": "158.1.0.48", "port": 5142, "key": "press3"}
+    assert any("min_usleep_interval" in w for w in t.warnings)
+
+
+def test_case4_es_options_carry_into_render(spark):
+    """case4: output-ek's grep/translate/template/bulk options become
+    render_es_bulk kwargs, and the rendered payload honors them."""
+    from logpipe_spark.operators.writers import render_es_bulk
+
+    t = translate_logpipe_conf(_conf("logpipe_case4_input_file_and_output_es.conf"))
+    assert t.es_render["translate"] == "[]"
+    assert "$11" in t.es_render["doc_template"]
+    assert t.es_target["port"] == 9200 and t.es_target["index"] == "ecif_platform"
+    # iconv options must be surfaced, not dropped
+    assert any("iconv" in w for w in t.warnings)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"f{i}_{j}" for j in range(24))) for i in range(4)],
+        "k long, text string",
+    )
+    kwargs = {k: v for k, v in t.es_render.items() if v is not None}
+    payloads = render_es_bulk(df, key_col=F.col("k"), order_col="k",
+                              **kwargs).collect()
+    assert payloads and all('{"index":{}}' in r["payload"] for r in payloads)
+    assert any("f0_11" in r["payload"] for r in payloads)  # $11 substituted
+
+
+def test_case2_tcp_output_and_case9_kafka_input():
+    t = translate_logpipe_conf(_conf("logpipe_case2_input_file_and_output_tcp.conf"))
+    assert t.tcp_peers == [("127.0.0.1", 10101)]
+    assert t.spec is None  # tcp has no batch landing dir without out_dir
+
+    t9 = translate_logpipe_conf(
+        _conf("logpipe_case9_input_kafka_and_output_stdout.conf")
+    )
+    assert [s[0] for s in t9.live_sources] == ["kafka_source"]
+    assert t9.console
