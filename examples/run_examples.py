@@ -132,9 +132,38 @@ def case9_kafka_source_plan(spark):
               type(err).__name__)
 
 
+def case_native_conf_translation(spark):
+    """Every shipped reference conf (conf/*.conf, fasterjson dialect)
+    through plans.conf_compat, then case0's translation RUN end-to-end."""
+    import glob
+
+    from logpipe_spark.plans.conf_compat import translate_logpipe_conf
+
+    confs = sorted(glob.glob("/root/reference/conf/*.conf"))
+    for path in confs:
+        t = translate_logpipe_conf(open(path).read())
+        parts = [p for p, v in [
+            ("spec", t.spec), ("es", t.es_render), ("tcp", t.tcp_peers),
+            ("hdfs", t.hdfs), ("kafka", t.kafka), ("ingeek", t.ingeek),
+            ("live", t.live_sources), ("stdout", t.console),
+        ] if v]
+        print(f"  {os.path.basename(path)}: -> {'+'.join(parts)}"
+              f" ({len(t.warnings)} warnings)")
+    _fixture(spark)
+    t0 = translate_logpipe_conf(
+        open("/root/reference/conf/logpipe_case0_input_file_and_output_file.conf").read(),
+        source_dir=f"{ROOT}/src", out_dir=f"{ROOT}/conf0_out",
+    )
+    shutil.rmtree(f"{ROOT}/conf0_out", ignore_errors=True)
+    t0.spec.run(spark)
+    n = read_sinks(spark, f"{ROOT}/conf0_out").count()
+    print(f"conf-translate: {len(confs)} native confs mapped; case0 ran "
+          f"end-to-end, {n} rows routed")
+
+
 ALL = [case0_file_to_file, case1_collector, case3_day_dirs, case4_es_bulk,
        case6_kafka_plan, case7_key_cut, case8_filter_stdout,
-       case9_kafka_source_plan]
+       case9_kafka_source_plan, case_native_conf_translation]
 
 if __name__ == "__main__":
     spark = get_spark(cores=8, shuffle_partitions=8, app_name="logpipe_examples")
