@@ -142,6 +142,21 @@ def file_lineage_rows(data_dir: str, sink_col: str = "sink") -> list[tuple]:
     return rows
 
 
+def local_path(path: str) -> str | None:
+    """The POSIX path behind ``path``, or None when it names a non-local
+    filesystem. Driver-side footer/lineage shortcuts only apply to paths
+    the driver can os.open: plain paths and ``file:`` URIs qualify;
+    ``hdfs://``/``s3a://``/... do not (callers fall back to the
+    distributed variants)."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" in path:
+        return None
+    return path
+
+
 _ARROW_TYPES = {"string": "string", "long": "int64", "int": "int32"}
 
 

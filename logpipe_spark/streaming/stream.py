@@ -109,10 +109,14 @@ def run_stream(
         batch_lineage = os.path.join(lineage_root, f"batch={batch_id}")
         # unlike the batch pipeline (whose ledger pins out_dir to a POSIX
         # path), streaming writes through Hadoop FS — driver-side pyarrow
-        # only applies to local dirs; any scheme'd path keeps the
-        # distributed metadata-only pass
-        local = "://" not in out_dir or out_dir.startswith("file:")
-        if m["routed"] and local:
+        # only applies to paths the driver can os.open (plain or file:
+        # URIs, normalized); any other scheme keeps the distributed
+        # metadata-only pass
+        from logpipe_spark.operators.sinks import local_path
+
+        local_data = local_path(batch_data)
+        local_lineage = local_path(batch_lineage)
+        if m["routed"] and local_data is not None:
             # per-file granularity from the just-written parquet footers,
             # read driver-side with pyarrow (sinks.file_lineage_rows) —
             # the file count is bounded by sinks × upstream partitions per
@@ -122,14 +126,14 @@ def run_stream(
 
             lineage_rows += [
                 (int(batch_id), pid, None, None, routed, None, sink, f)
-                for pid, sink, f, routed in file_lineage_rows(batch_data)
+                for pid, sink, f, routed in file_lineage_rows(local_data)
             ]
-        if local:
+        if local_lineage is not None:
             # driver-side pyarrow write: a per-batch Spark job for ~10
             # rows of metadata would dominate micro-batch latency
             from logpipe_spark.operators.sinks import write_lineage_parquet
 
-            write_lineage_parquet(lineage_rows, ddl, batch_lineage)
+            write_lineage_parquet(lineage_rows, ddl, local_lineage)
         else:
             from logpipe_spark.operators.sinks import file_lineage
 
