@@ -543,6 +543,19 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_quota_sample(spark, sf_dir):
+    """Per-group quota sampling (operators/corpus.py:quota_sample) — cap
+    every language at 100 docs, selected by deterministic md5-hash order
+    of the stable key. The fixture exercises both branches at every sf:
+    'en' exceeds the quota and is trimmed; the other languages pass
+    through whole. Value oracle checks the exact selected (lang, doc_id)
+    set, not just counts — hash order must match bit for bit."""
+    from logpipe_spark.operators.corpus import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(docs, group_col="lang", quota=100).select("lang", "doc_id")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by hashed stable key
     (operators/corpus.py:hash_split) — md5-derived buckets, so the oracle
@@ -954,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_tokens": q_bpe_tokens,
         "multimodal_features": q_multimodal_features,
+        "quota_sample": q_quota_sample,  # r4 new operator
         # -- green in r3, kept in-window --
         "parse_extract": q_parse_extract,
         "route_fanout": q_route_fanout,
@@ -997,8 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE: "template_nsub" intentionally removed — it duplicated
         # template_project; template_missing_fields covers the other branch
         "range_join": q_range_join,
-        "percentiles": q_percentiles,
         # -- priority 3 (tail): veterans, green + unchanged since r1/r2 --
+        "percentiles": q_percentiles,  # rotated out for r4's quota_sample
         "grep_filter": q_grep_filter,
         "tokenize_fields": q_tokenize_fields,
         "template_project": q_template_project,
@@ -1657,6 +1671,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
         )
         SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        """,
+        "quota_sample": """
+            WITH ranked AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST('0x' || substr(md5('quota:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                                ASC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            )
+            SELECT lang, doc_id FROM ranked WHERE rn <= 100
         """,
         "hash_split": """
             SELECT doc_id,

@@ -154,3 +154,40 @@ def sequence_pack(
         return pdf[["doc_id", "shard", "n_tokens", "pack_id"]]
 
     return keyed.groupBy("shard").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def quota_sample(
+    docs: DataFrame,
+    group_col: str = "lang",
+    quota: int = 100,
+    key_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap every group at ``quota`` docs — the over-representation fix
+    (per-language / per-domain / per-source caps) a corpus runs after
+    filtering and before packing.
+
+    Selection is by deterministic HASH order of the stable key, not
+    first-seen order: the chosen subset is invariant under repartitioning,
+    engine changes, and corpus growth outside the group (a doc only drops
+    out when enough new docs hash BELOW it inside its own group — the same
+    stability rule as ``hash_split``; ``salt`` namespaces independent
+    sampling passes). Ties on the hash break by key, so the result is a
+    total function of the group's key set.
+
+    Plan: one hash-partitioned window per group (no global exchange, no
+    SinglePartition — auto-screened by test_plan_quality); the sort is
+    per-group over ~group-size rows. Skewed groups: a group 100× the
+    median sorts 100× the rows in one task — at that shape, pre-filter
+    with an approximate per-group threshold on the hash before the exact
+    window, which this fixture-scale implementation deliberately omits.
+    """
+    from pyspark.sql import Window
+
+    h = base_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        docs.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= quota)
+        .drop("_qrank")
+    )

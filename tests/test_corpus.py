@@ -133,3 +133,27 @@ def test_connected_components_raises_when_budget_too_small(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges, max_iter=8).collect()}
     assert set(got.values()) == {0}
+
+
+def test_quota_sample_deterministic_and_both_branches(spark, docs):
+    """Selection is a function of key sets only: invariant under
+    repartitioning; groups under quota pass through whole, groups over it
+    are trimmed to exactly quota."""
+    from logpipe_spark.operators.corpus import quota_sample
+
+    before = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = quota_sample(docs, group_col="lang", quota=100)
+    after = {r["lang"]: r["n"] for r in
+             got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert any(n > 100 for n in before.values())  # fixture exercises trim
+    assert any(n < 100 for n in before.values())  # ... and pass-through
+    for lang, n in before.items():
+        assert after[lang] == min(n, 100)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    ids_repart = sorted(
+        r["doc_id"]
+        for r in quota_sample(docs.repartition(13), group_col="lang",
+                              quota=100).select("doc_id").collect()
+    )
+    assert ids == ids_repart
