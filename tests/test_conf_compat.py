@@ -23,7 +23,7 @@ def _conf(name: str) -> str:
 
 
 def test_every_shipped_conf_parses_and_translates():
-    """All 14 shipped confs go through without an exception — nothing the
+    """Every shipped conf goes through without an exception — nothing the
     reference ships is outside the dialect or the plugin map."""
     names = sorted(n for n in os.listdir(CONF_DIR) if n.endswith(".conf"))
     assert len(names) >= 10
@@ -102,3 +102,32 @@ def test_case2_tcp_output_and_case9_kafka_input():
     )
     assert [s[0] for s in t9.live_sources] == ["kafka_source"]
     assert t9.console
+
+
+def test_dialect_parser_is_json_superset():
+    """parse_logpipe_conf must agree with json.loads on every strict-JSON
+    document (the dialect only ADDS comment lines and bare unit scalars) —
+    property-tested over recursive JSON values."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = (st.none() | st.booleans()
+               | st.integers(min_value=-10**9, max_value=10**9)
+               | st.floats(allow_nan=False, allow_infinity=False)
+               | st.text(max_size=20))
+    values = st.recursive(
+        scalars,
+        lambda kids: st.lists(kids, max_size=4)
+        | st.dictionaries(st.text(max_size=8), kids, max_size=4),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(values)
+    def check(v):
+        text = json.dumps(v, indent=1)
+        assert parse_logpipe_conf(text) == v
+
+    check()
