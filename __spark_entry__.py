@@ -950,10 +950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-4 window: the 7 entries that overflowed in r3
     (embedding_neardup(_lsh), cube, set_intersect, doc_fingerprint,
     bpe_tokens, multimodal_features) plus this round's changes
-    (json_extract, ann_lsh_topk) lead; 7 veterans green since r1/r2 and
-    unchanged (grep_filter, tokenize_fields, template_project,
-    template_missing_fields, orderby_limit, key_cut, translate_charset)
-    hold the tail.
+    (json_extract, ann_lsh_topk) and the new quota_sample lead; 8
+    veterans green since r1-r3 and unchanged (percentiles, grep_filter,
+    tokenize_fields, template_project, template_missing_fields,
+    orderby_limit, key_cut, translate_charset) hold the tail.
     """
     return {
         # -- priority 1: changed since last green check / failed in r3 --
