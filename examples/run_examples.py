@@ -140,6 +140,9 @@ def case_native_conf_translation(spark):
     from logpipe_spark.plans.conf_compat import translate_logpipe_conf
 
     confs = sorted(glob.glob("/root/reference/conf/*.conf"))
+    if not confs:
+        print("conf-translate: reference conf dir not present, skipped")
+        return
     for path in confs:
         t = translate_logpipe_conf(open(path).read())
         parts = [p for p, v in [

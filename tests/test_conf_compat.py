@@ -16,6 +16,12 @@ from logpipe_spark.plans.conf_compat import (
 
 CONF_DIR = "/root/reference/conf"
 
+# the reference checkout is study material, not a build dependency — these
+# tests exercise compatibility against its SHIPPED conf files when present
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CONF_DIR), reason="reference conf dir not present"
+)
+
 
 def _conf(name: str) -> str:
     with open(os.path.join(CONF_DIR, name)) as f:
