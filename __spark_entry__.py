@@ -556,6 +556,37 @@ def q_quota_sample(spark, sf_dir):
     return quota_sample(docs, group_col="lang", quota=100).select("lang", "doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus.py:decontaminate) —
+    docs with doc_id % 7 == 0 stand in for the held-out eval set; corpus
+    docs sharing ≥3 distinct 8-gram shingles with it are flagged. The
+    fixture's planted near-duplicates make both branches real at every sf
+    (sf0.001: 7 contaminated of 428; sf0.01: 9; sf0.1: 57). Eval shingles
+    broadcast; the only corpus shuffle is the per-doc count agg."""
+    from logpipe_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    return decontaminate(docs, ev, n=8, min_overlap=3).select(
+        "doc_id", "n_shingles", "n_overlap", "contaminated"
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals
+    (operators/textstats.py:repetition_stats): per-doc total / distinct /
+    most-frequent word-2-gram counts via a zero-shuffle run-length fold
+    over the sorted n-gram array (array_sort + aggregate, all JVM
+    higher-order exprs). 342 of 500 sf0.001 docs have a repeated 2-gram —
+    both branches live. Integer outputs only (value-hash safe)."""
+    from logpipe_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2).select(
+        "doc_id", "n_grams", "n_distinct", "top_count"
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by hashed stable key
     (operators/corpus.py:hash_split) — md5-derived buckets, so the oracle
@@ -950,8 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-4 window: the 7 entries that overflowed in r3
     (embedding_neardup(_lsh), cube, set_intersect, doc_fingerprint,
     bpe_tokens, multimodal_features) plus this round's changes
-    (json_extract, ann_lsh_topk) and the new quota_sample lead; 8
-    veterans green since r1-r3 and unchanged (percentiles, grep_filter,
+    (json_extract, ann_lsh_topk) and the new quota_sample, decontaminate,
+    and repetition_stats lead; 10 veterans green since r1-r3 and
+    unchanged (asof_join, range_join, percentiles, grep_filter,
     tokenize_fields, template_project, template_missing_fields,
     orderby_limit, key_cut, translate_charset) hold the tail.
     """
@@ -968,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "multimodal_features": q_multimodal_features,
         "quota_sample": q_quota_sample,  # r4 new operator
+        "decontaminate": q_decontaminate,  # r4 new operator
+        "repetition_stats": q_repetition_stats,  # r4 new operator
         # -- green in r3, kept in-window --
         "parse_extract": q_parse_extract,
         "route_fanout": q_route_fanout,
@@ -1007,11 +1041,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "parse_extract_pandas": q_parse_extract_pandas,
         "es_bulk_render": q_es_bulk,
-        "asof_join": q_asof_join,
         # NOTE: "template_nsub" intentionally removed — it duplicated
         # template_project; template_missing_fields covers the other branch
-        "range_join": q_range_join,
         # -- priority 3 (tail): veterans, green + unchanged since r1/r2 --
+        "asof_join": q_asof_join,  # rotated out for r4's decontaminate
+        "range_join": q_range_join,  # rotated out for r4's repetition_stats
         "percentiles": q_percentiles,  # rotated out for r4's quota_sample
         "grep_filter": q_grep_filter,
         "tokenize_fields": q_tokenize_fields,
@@ -1684,6 +1718,61 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang, doc_id FROM ranked WHERE rn <= 100
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 7, 0) + 1),
+                       i -> list_aggr(t[i:i+7], 'string_agg', ' ')))) AS g
+              FROM toks WHERE len(t) >= 8
+            ), ev AS (
+              SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0
+            ), ov AS (
+              SELECT s.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                     CAST(COUNT(e.g) AS BIGINT) AS n_overlap
+              FROM sh s LEFT JOIN ev e ON s.g = e.g
+              GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(o.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   COALESCE(o.n_overlap, 0) >= 3 AS contaminated
+            FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+            WHERE d.doc_id % 7 <> 0
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(range(1, len(t)),
+                                              i -> list_aggr(t[i:i+1], 'string_agg', ' '))
+                          ELSE [] END AS grams
+              FROM toks
+            ), ex AS (
+              SELECT doc_id, unnest(grams) AS gr FROM g
+            ), cnt AS (
+              SELECT doc_id, gr, COUNT(*) AS c FROM ex GROUP BY doc_id, gr
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_grams,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(MAX(c) AS BIGINT) AS top_count
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(a.top_count, 0) AS BIGINT) AS top_count
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "hash_split": """
             SELECT doc_id,

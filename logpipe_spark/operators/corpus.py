@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from logpipe_spark.operators.dedup import _tokens, base_hash60
+from logpipe_spark.operators.dedup import _shingles, _tokens, base_hash60
 
 
 def split_bucket(key: Column, salt: str = "split", buckets: int = 10000) -> Column:
@@ -154,6 +154,54 @@ def sequence_pack(
         return pdf[["doc_id", "shard", "n_tokens", "pack_id"]]
 
     return keyed.groupBy("shard").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    min_overlap: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose text shares
+    ``min_overlap``+ distinct ``n``-gram token shingles with ANY doc in the
+    held-out evaluation set — the standard pre-training hygiene pass that
+    keeps test-set text out of the training corpus (n-gram overlap against
+    the benchmark, per GPT-3/PaLM-style dataset reports; 8-13 gram windows
+    are the published sweet spot — long enough that chance collisions
+    vanish, short enough that light paraphrase still hits).
+
+    Scale design — the asymmetry IS the plan: the benchmark side is tiny
+    (millions of shingles) against a 100 TB corpus, so the eval shingle
+    set is deduped and BROADCAST; the corpus is never shuffled by shingle.
+    One pass: explode corpus shingles (``explode_outer`` so shingle-less
+    docs survive with zeros), broadcast-hash mark matches, then a single
+    ``groupBy(doc_id)`` with map-side partial aggregation. No self-join,
+    no shuffle keyed on text.
+
+    Returns one row per corpus doc: ``n_shingles`` (distinct), ``n_overlap``
+    (distinct shingles shared with the eval set), and ``contaminated``.
+    Docs also present in ``eval_docs`` (matched by ``key_col``) are excluded
+    from the output — they are the benchmark, not candidates."""
+    sh = F.explode_outer(_shingles(F.col(text_col), n)).alias("g")
+    corpus = docs.select(F.col(key_col).alias("doc_id"), sh)
+    ev = (
+        eval_docs.select(F.explode(_shingles(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev_keys = eval_docs.select(F.col(key_col).alias("doc_id"))
+    return (
+        corpus.join(F.broadcast(ev), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .join(F.broadcast(ev_keys), "doc_id", "left_anti")
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+    )
 
 
 def quota_sample(

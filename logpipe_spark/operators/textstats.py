@@ -144,6 +144,58 @@ def lang_quality_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    docs: DataFrame, n: int = 2, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: per doc, the total
+    and distinct word ``n``-gram counts plus the count of the single most
+    frequent n-gram — the inputs to the published "fraction of duplicate
+    n-grams" / "fraction of characters in the top n-gram" repetition
+    filters (boilerplate, chat loops, and keyword-stuffed spam all light
+    these up long before perplexity filters see them).
+
+    Scale design: repetition is a PER-ROW property, so this must not
+    shuffle — and it doesn't. The mode count comes from a run-length fold
+    over the SORTED n-gram array (``array_sort`` + ``aggregate`` with a
+    (prev, run, best) struct accumulator), all JVM higher-order
+    expressions inside whole-stage codegen: zero exchanges, zero Python,
+    embarrassingly parallel at any corpus size. (Contrast top_terms, a
+    corpus-level explode+agg: same n-grams, different altitude.)
+
+    Integer outputs only (value-hash safe); callers derive the Gopher
+    fractions as ``1 - n_distinct/n_grams`` and ``top_count/n_grams``.
+    Docs with fewer than ``n`` tokens report zeros."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        F.col(key_col),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        top.alias("top_count"),
+    )
+
+
 def doc_quality(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Per-doc quality + heuristic lang + fingerprint — the full
     training-data annotation pass, one scan, zero Python."""

@@ -157,3 +157,41 @@ def test_quota_sample_deterministic_and_both_branches(spark, docs):
                               quota=100).select("doc_id").collect()
     )
     assert ids == ids_repart
+
+
+def test_decontaminate_flags_planted_dup_and_excludes_eval(spark):
+    """A corpus doc that copies an 8-gram window from an eval doc is
+    flagged; unrelated docs are not; eval docs never appear in the
+    output; shingle-less (short) docs survive with zeros."""
+    from logpipe_spark.operators.corpus import decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            eval_text,                                    # the eval doc
+            "intro words " + eval_text + " trailing words",  # contaminated copy
+            "totally different content about other things entirely here now",
+            "tiny",                                       # < 8 tokens → zeros
+        ],
+    })
+    docs = spark.createDataFrame(rows)
+    ev = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r.asDict()
+           for r in decontaminate(docs, ev, n=8, min_overlap=3).collect()}
+    assert set(out) == {1, 2, 3}          # eval doc excluded
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 3
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3] == {"doc_id": 3, "n_shingles": 0, "n_overlap": 0,
+                      "contaminated": False}
+
+
+def test_decontaminate_broadcasts_eval_side(spark, docs):
+    """The 100 TB contract: the benchmark side must broadcast — the corpus
+    is never shuffled by shingle (no sort-merge join in the plan)."""
+    from logpipe_spark.operators.corpus import decontaminate
+
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    plan = decontaminate(docs, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

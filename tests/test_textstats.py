@@ -77,3 +77,35 @@ def test_doc_quality_shape(samples):
     a = sorted(r["fingerprint"] for r in df.collect())
     b = sorted(r["fingerprint"] for r in doc_quality(samples).collect())
     assert a == b
+
+
+def test_repetition_stats_hand_values(spark):
+    """Known 2-gram structure: 'a b a b a b' has grams [a b, b a, a b,
+    b a, a b] → n=5, distinct=2, top=3. Short and empty docs → zeros."""
+    from logpipe_spark.operators.textstats import repetition_stats
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b a b a b",
+            "all words here are unique tokens",
+            "one",      # < 2 tokens
+            "  ",       # no tokens at all
+        ],
+    })
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(spark.createDataFrame(rows)).collect()}
+    assert out[0] == {"doc_id": 0, "n_grams": 5, "n_distinct": 2, "top_count": 3}
+    assert out[1]["n_grams"] == 5 and out[1]["n_distinct"] == 5
+    assert out[1]["top_count"] == 1
+    assert out[2] == {"doc_id": 2, "n_grams": 0, "n_distinct": 0, "top_count": 0}
+    assert out[3] == {"doc_id": 3, "n_grams": 0, "n_distinct": 0, "top_count": 0}
+
+
+def test_repetition_stats_zero_shuffle(spark):
+    """Per-row property → the plan must contain no Exchange at all."""
+    from logpipe_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
