@@ -587,6 +587,50 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (operators/corpus.py:pii_redact): emails / IPv4 /
+    phone numbers → typed placeholders + per-category counts, a pure
+    regexp_replace/regexp_count codegen chain (zero shuffles). The
+    fixture tables carry no natural PII, so the query plants it
+    deterministically from events columns (identical construction in the
+    oracle SQL): four branches per event_id % 4 — no-PII, IP-only, a
+    mixed email+IP+phone line (exercises replacement ordering), and a
+    two-email line. RE2-safe patterns keep both engines bit-identical."""
+    ev = _t(spark, sf_dir, "events")
+    text = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(
+                F.lit("contact u"), F.col("user_id").cast("string"),
+                F.lit("@example.com or admin@host.org for help"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(
+                F.lit("login from 10."), (F.col("user_id") % 256).cast("string"),
+                F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".7 ok"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(
+                F.lit("call +1 555 01"),
+                F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
+                F.lit(" re u"), F.col("user_id").cast("string"),
+                F.lit("@example.com at 192.168.0."),
+                (F.col("user_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("no contact info here"))
+    )
+    from logpipe_spark.operators.corpus import pii_redact
+
+    return pii_redact(ev.select("event_id", text.alias("text"))).select(
+        "event_id", "n_emails", "n_ipv4", "n_phones", "text_redacted"
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by hashed stable key
     (operators/corpus.py:hash_split) — md5-derived buckets, so the oracle
@@ -982,10 +1026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (embedding_neardup(_lsh), cube, set_intersect, doc_fingerprint,
     bpe_tokens, multimodal_features) plus this round's changes
     (json_extract, ann_lsh_topk) and the new quota_sample, decontaminate,
-    and repetition_stats lead; 10 veterans green since r1-r3 and
-    unchanged (asof_join, range_join, percentiles, grep_filter,
-    tokenize_fields, template_project, template_missing_fields,
-    orderby_limit, key_cut, translate_charset) hold the tail.
+    repetition_stats, and pii_redact lead; 11 veterans green since r1-r3
+    and unchanged (es_bulk_render, asof_join, range_join, percentiles,
+    grep_filter, tokenize_fields, template_project,
+    template_missing_fields, orderby_limit, key_cut, translate_charset)
+    hold the tail.
     """
     return {
         # -- priority 1: changed since last green check / failed in r3 --
@@ -1002,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,  # r4 new operator
         "decontaminate": q_decontaminate,  # r4 new operator
         "repetition_stats": q_repetition_stats,  # r4 new operator
+        "pii_redact": q_pii_redact,  # r4 new operator
         # -- green in r3, kept in-window --
         "parse_extract": q_parse_extract,
         "route_fanout": q_route_fanout,
@@ -1040,10 +1086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "rollup": q_rollup,
         "parse_extract_pandas": q_parse_extract_pandas,
-        "es_bulk_render": q_es_bulk,
         # NOTE: "template_nsub" intentionally removed — it duplicated
         # template_project; template_missing_fields covers the other branch
         # -- priority 3 (tail): veterans, green + unchanged since r1/r2 --
+        "es_bulk_render": q_es_bulk,  # rotated out for r4's pii_redact
         "asof_join": q_asof_join,  # rotated out for r4's decontaminate
         "range_join": q_range_join,  # rotated out for r4's repetition_stats
         "percentiles": q_percentiles,  # rotated out for r4's quota_sample
@@ -1744,6 +1790,37 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o.n_overlap, 0) >= 3 AS contaminated
             FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
             WHERE d.doc_id % 7 <> 0
+        """,
+        "pii_redact": r"""
+            WITH t AS (
+              SELECT event_id,
+                CASE
+                  WHEN event_id % 4 = 0 THEN 'contact u' || CAST(user_id AS VARCHAR)
+                       || '@example.com or admin@host.org for help'
+                  WHEN event_id % 4 = 1 THEN 'login from 10.'
+                       || CAST(user_id % 256 AS VARCHAR) || '.'
+                       || CAST(event_id % 256 AS VARCHAR) || '.7 ok'
+                  WHEN event_id % 4 = 2 THEN 'call +1 555 01'
+                       || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')
+                       || ' re u' || CAST(user_id AS VARCHAR)
+                       || '@example.com at 192.168.0.'
+                       || CAST(user_id % 256 AS VARCHAR)
+                  ELSE 'no contact info here'
+                END AS text
+              FROM events
+            )
+            SELECT event_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              len(regexp_extract_all(text,
+                  '\+\d{1,3}([- ]?\d{2,4}){2,3}')) AS n_phones,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+\d{1,3}([- ]?\d{2,4}){2,3}', '<PHONE>', 'g') AS text_redacted
+            FROM t
         """,
         "repetition_stats": """
             WITH toks AS (

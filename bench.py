@@ -346,7 +346,7 @@ def main() -> None:
         "embedding_neardup_lsh", "es_bulk_render", "multimodal_features",
         "text_quality", "dedup_simhash", "dedup_simhash_pairs", "ann_lsh_topk",
         "tpch_q5", "lead_lag", "hash_split", "corpus_filter", "sequence_pack",
-        "quota_sample", "decontaminate", "repetition_stats",
+        "quota_sample", "decontaminate", "repetition_stats", "pii_redact",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

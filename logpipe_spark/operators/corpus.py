@@ -204,6 +204,47 @@ def decontaminate(
     )
 
 
+# RE2-safe patterns (no backreferences / lookaround), so Spark's Java regex
+# and any RE2-family oracle engine agree token for token. Order matters:
+# emails are redacted before IPv4 so a digit-bearing local part can't be
+# half-eaten, and phones last (the leading + keeps them off IPv4 octets).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}([- ]?\d{2,4}){2,3}",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace emails, IPv4 addresses, and +-prefixed phone
+    numbers with typed placeholders (``<EMAIL>``/``<IP>``/``<PHONE>``) and
+    count each category — the pre-training hygiene pass every published
+    corpus pipeline runs before release.
+
+    Pure per-row ``regexp_replace``/``regexp_count`` chain: JVM-side,
+    whole-stage codegen, zero shuffles, embarrassingly parallel at 100 TB.
+    Counts are taken BEFORE redaction (on the original text) so the three
+    counters are independent of replacement order; the replacement chain
+    itself is ordered email → ipv4 → phone, which is part of the
+    documented contract (a phone match never sees an already-redacted
+    email's digits). Patterns are deliberately RE2-safe so external
+    engines reproduce the result bit for bit."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>"),
+            PII_PATTERNS["ipv4"],
+            "<IP>",
+        ),
+        PII_PATTERNS["phone"],
+        "<PHONE>",
+    )
+    return docs.withColumn("n_emails", F.regexp_count(t, F.lit(PII_PATTERNS["email"]))) \
+        .withColumn("n_ipv4", F.regexp_count(t, F.lit(PII_PATTERNS["ipv4"]))) \
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PATTERNS["phone"]))) \
+        .withColumn("text_redacted", redacted)
+
+
 def quota_sample(
     docs: DataFrame,
     group_col: str = "lang",

@@ -195,3 +195,39 @@ def test_decontaminate_broadcasts_eval_side(spark, docs):
     plan = decontaminate(docs, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_hand_values(spark):
+    """Each category redacts independently; a mixed line redacts all
+    three; counts come from the ORIGINAL text (order-independent);
+    clean text passes through untouched with zero counts."""
+    from logpipe_spark.operators.corpus import pii_redact
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail bob.smith+x@corp.example.co and sue@a.io today",
+            "server 10.0.255.1 then call +44 20 7946 0958 now",
+            "clean sentence with no identifiers at all",
+            "u@a.de from 8.8.8.8 dial +1 555 0100",
+        ],
+    })
+    out = {r["doc_id"]: r.asDict()
+           for r in pii_redact(spark.createDataFrame(rows)).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_ipv4"] == 0
+    assert out[0]["text_redacted"] == "mail <EMAIL> and <EMAIL> today"
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_phones"] == 1
+    assert out[1]["text_redacted"] == "server <IP> then call <PHONE> now"
+    assert out[2]["n_emails"] == out[2]["n_ipv4"] == out[2]["n_phones"] == 0
+    assert out[2]["text_redacted"] == rows["text"][2]
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (1, 1, 1)
+    assert out[3]["text_redacted"] == "<EMAIL> from <IP> dial <PHONE>"
+
+
+def test_pii_redact_zero_shuffle(spark):
+    """Per-row regex chain → no Exchange in the plan."""
+    from logpipe_spark.operators.corpus import pii_redact
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
