@@ -631,6 +631,18 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/corpus.py:chunk_documents):
+    every doc split into 32-token windows with stride 24 (overlapping) —
+    per-row generate/explode, zero shuffles. sf0.001: 1388 chunks from
+    500 docs, 420 docs multi-chunk, 621 short tails — window boundaries,
+    overlap, and tail truncation all value-checked (full chunk text)."""
+    from logpipe_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, stride=24)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by hashed stable key
     (operators/corpus.py:hash_split) — md5-derived buckets, so the oracle
@@ -1026,11 +1038,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (embedding_neardup(_lsh), cube, set_intersect, doc_fingerprint,
     bpe_tokens, multimodal_features) plus this round's changes
     (json_extract, ann_lsh_topk) and the new quota_sample, decontaminate,
-    repetition_stats, and pii_redact lead; 11 veterans green since r1-r3
-    and unchanged (es_bulk_render, asof_join, range_join, percentiles,
-    grep_filter, tokenize_fields, template_project,
-    template_missing_fields, orderby_limit, key_cut, translate_charset)
-    hold the tail.
+    repetition_stats, pii_redact, and chunk_documents lead; 12 veterans
+    green since r1-r3 and unchanged (parse_extract_pandas,
+    es_bulk_render, asof_join, range_join, percentiles, grep_filter,
+    tokenize_fields, template_project, template_missing_fields,
+    orderby_limit, key_cut, translate_charset) hold the tail.
     """
     return {
         # -- priority 1: changed since last green check / failed in r3 --
@@ -1048,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,  # r4 new operator
         "repetition_stats": q_repetition_stats,  # r4 new operator
         "pii_redact": q_pii_redact,  # r4 new operator
+        "chunk_documents": q_chunk_documents,  # r4 new operator
         # -- green in r3, kept in-window --
         "parse_extract": q_parse_extract,
         "route_fanout": q_route_fanout,
@@ -1085,10 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fields_strictly": q_fields_strictly,
         "pivot": q_pivot,
         "rollup": q_rollup,
-        "parse_extract_pandas": q_parse_extract_pandas,
         # NOTE: "template_nsub" intentionally removed — it duplicated
         # template_project; template_missing_fields covers the other branch
         # -- priority 3 (tail): veterans, green + unchanged since r1/r2 --
+        "parse_extract_pandas": q_parse_extract_pandas,  # rotated out for r4's chunk_documents
         "es_bulk_render": q_es_bulk,  # rotated out for r4's pii_redact
         "asof_join": q_asof_join,  # rotated out for r4's decontaminate
         "range_join": q_range_join,  # rotated out for r4's repetition_stats
@@ -1790,6 +1803,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o.n_overlap, 0) >= 3 AS contaminated
             FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
             WHERE d.doc_id % 7 <> 0
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), st AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(len(t), 1) + 1, 24)) AS s,
+                     generate_subscripts(range(1, greatest(len(t), 1) + 1, 24), 1) - 1
+                       AS chunk_idx
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(len(t[s:s+31]) AS BIGINT) AS n_tokens,
+                   list_aggr(t[s:s+31], 'string_agg', ' ') AS chunk_text
+            FROM st WHERE len(t[s:s+31]) > 0
         """,
         "pii_redact": r"""
             WITH t AS (

@@ -204,6 +204,51 @@ def decontaminate(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into fixed-size token windows — the context-
+    window prep step that complements ``sequence_pack`` (packing joins
+    short docs; chunking splits long ones). ``stride`` < ``chunk_size``
+    yields overlapping windows (the usual trick so no span is ever cut
+    mid-context); default stride = chunk_size (disjoint). The tail chunk
+    may be shorter; token-less docs emit nothing.
+
+    Per-row generate-and-explode: window starts are a JVM ``sequence``,
+    each chunk a ``slice`` + ``concat_ws`` — one generator, no shuffle,
+    no Python; at 100 TB this is a map-only stage whose output feeds
+    straight into the (sharded) packer or the tokenizer."""
+    if stride is None:
+        stride = chunk_size
+    if not (1 <= stride <= chunk_size):
+        raise ValueError(f"need 1 <= stride <= chunk_size, got {stride}/{chunk_size}")
+    toks = _tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(toks, s, chunk_size).alias("toks"),
+            ),
+        ),
+        lambda c: F.size(c["toks"]) > 0,
+    )
+    ex = docs.select(
+        F.col(key_col).alias("doc_id"), F.explode(chunks).alias("c")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c.toks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+    )
+
+
 # RE2-safe patterns (no backreferences / lookaround), so Spark's Java regex
 # and any RE2-family oracle engine agree token for token. Order matters:
 # emails are redacted before IPv4 so a digit-bearing local part can't be

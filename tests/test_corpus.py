@@ -231,3 +231,42 @@ def test_pii_redact_zero_shuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     plan = pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_hand_values(spark):
+    """10 tokens, size 4, stride 4 → lengths [4,4,2]; stride 2 overlaps
+    (starts 1,3,5,7,9); short docs yield one short chunk; empty none.
+    Chunks reassemble the doc exactly when stride == chunk_size."""
+    from logpipe_spark.operators.corpus import chunk_documents
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "a b", "   "],
+    })
+    docs = spark.createDataFrame(rows)
+    out = chunk_documents(docs, chunk_size=4, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_tokens"] for r in by_doc[0]] == [4, 4, 2]
+    assert [r["chunk_idx"] for r in by_doc[0]] == [0, 1, 2]
+    assert " ".join(r["chunk_text"] for r in by_doc[0]) == rows["text"][0]
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b"
+    assert 2 not in by_doc  # token-less doc emits nothing
+
+    over = chunk_documents(docs.filter(F.col("doc_id") == 0),
+                           chunk_size=4, stride=2).collect()
+    assert [r["chunk_text"] for r in sorted(over, key=lambda r: r["chunk_idx"])][:2] \
+        == ["t0 t1 t2 t3", "t2 t3 t4 t5"]
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_size=4, stride=5)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Generate/explode only — no Exchange in the plan."""
+    from logpipe_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
