@@ -562,11 +562,14 @@ def q_decontaminate(spark, sf_dir):
     docs sharing ≥3 distinct 8-gram shingles with it are flagged. The
     fixture's planted near-duplicates make both branches real at every sf
     (sf0.001: 7 contaminated of 428; sf0.01: 9; sf0.1: 57). Eval shingles
-    broadcast; the only corpus shuffle is the per-doc count agg."""
+    broadcast; the only corpus shuffle is the per-doc count agg.
+    Single-file input: spread the corpus side before the heavy shingle
+    explode (a real deployment's scan has many splits)."""
     from logpipe_spark.operators.corpus import decontaminate
 
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 7 == 0)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return decontaminate(docs, ev, n=8, min_overlap=3).select(
         "doc_id", "n_shingles", "n_overlap", "contaminated"
     )
@@ -578,10 +581,15 @@ def q_repetition_stats(spark, sf_dir):
     most-frequent word-2-gram counts via a zero-shuffle run-length fold
     over the sorted n-gram array (array_sort + aggregate, all JVM
     higher-order exprs). 342 of 500 sf0.001 docs have a repeated 2-gram —
-    both branches live. Integer outputs only (value-hash safe)."""
+    both branches live. Integer outputs only (value-hash safe).
+    Single-file input + heavy per-row compute: spread rows first (the
+    operator itself stays Exchange-free; at real scale the scan's many
+    splits provide this parallelism for free — 6.0 s → 0.6 s at sf0.1)."""
     from logpipe_spark.operators.textstats import repetition_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return repetition_stats(docs, n=2).select(
         "doc_id", "n_grams", "n_distinct", "top_count"
     )
@@ -595,8 +603,11 @@ def q_pii_redact(spark, sf_dir):
     deterministically from events columns (identical construction in the
     oracle SQL): four branches per event_id % 4 — no-PII, IP-only, a
     mixed email+IP+phone line (exercises replacement ordering), and a
-    two-email line. RE2-safe patterns keep both engines bit-identical."""
-    ev = _t(spark, sf_dir, "events")
+    two-email line. RE2-safe patterns keep both engines bit-identical.
+    Single-file input + per-row regex chain: spread rows first."""
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     text = (
         F.when(
             F.col("event_id") % 4 == 0,
