@@ -654,6 +654,21 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, chunk_size=32, stride=24)
 
 
+def q_mix_sample(spark, sf_dir):
+    """Mixture sampling (operators/corpus.py:mix_sample): trim sources to
+    a designed 50/30/20 mixture. The uniform fixture (25 docs/source at
+    sf0.001) makes src0 the binding group (kept whole) while src1/src2
+    trim to 15/10 — binding, trimmed, and dropped-unlisted branches all
+    live. Exact selected (source, doc_id) set value-checked (hash order
+    must match bit for bit)."""
+    from logpipe_spark.operators.corpus import mix_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_sample(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}).select(
+        "source", "doc_id"
+    )
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by hashed stable key
     (operators/corpus.py:hash_split) — md5-derived buckets, so the oracle
@@ -1049,11 +1064,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (embedding_neardup(_lsh), cube, set_intersect, doc_fingerprint,
     bpe_tokens, multimodal_features) plus this round's changes
     (json_extract, ann_lsh_topk) and the new quota_sample, decontaminate,
-    repetition_stats, pii_redact, and chunk_documents lead; 12 veterans
-    green since r1-r3 and unchanged (parse_extract_pandas,
-    es_bulk_render, asof_join, range_join, percentiles, grep_filter,
-    tokenize_fields, template_project, template_missing_fields,
-    orderby_limit, key_cut, translate_charset) hold the tail.
+    repetition_stats, pii_redact, chunk_documents, and mix_sample lead;
+    13 veterans green since r1-r3 and unchanged (rollup,
+    parse_extract_pandas, es_bulk_render, asof_join, range_join,
+    percentiles, grep_filter, tokenize_fields, template_project,
+    template_missing_fields, orderby_limit, key_cut, translate_charset)
+    hold the tail.
     """
     return {
         # -- priority 1: changed since last green check / failed in r3 --
@@ -1072,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,  # r4 new operator
         "pii_redact": q_pii_redact,  # r4 new operator
         "chunk_documents": q_chunk_documents,  # r4 new operator
+        "mix_sample": q_mix_sample,  # r4 new operator
         # -- green in r3, kept in-window --
         "parse_extract": q_parse_extract,
         "route_fanout": q_route_fanout,
@@ -1108,10 +1125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_quality": q_langid_quality,
         "fields_strictly": q_fields_strictly,
         "pivot": q_pivot,
-        "rollup": q_rollup,
         # NOTE: "template_nsub" intentionally removed — it duplicated
         # template_project; template_missing_fields covers the other branch
         # -- priority 3 (tail): veterans, green + unchanged since r1/r2 --
+        "rollup": q_rollup,  # rotated out for r4's mix_sample
         "parse_extract_pandas": q_parse_extract_pandas,  # rotated out for r4's chunk_documents
         "es_bulk_render": q_es_bulk,  # rotated out for r4's pii_redact
         "asof_join": q_asof_join,  # rotated out for r4's decontaminate
@@ -1814,6 +1831,31 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o.n_overlap, 0) >= 3 AS contaminated
             FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
             WHERE d.doc_id % 7 <> 0
+        """,
+        "mix_sample": """
+            WITH t(g, frac) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+            c AS (
+              SELECT source AS g, COUNT(*) AS n FROM documents
+              WHERE source IN (SELECT g FROM t) GROUP BY source
+            ),
+            tot AS (SELECT MIN(c.n / t.frac) AS total FROM c JOIN t USING (g)),
+            k AS (
+              SELECT t.g,
+                     CAST(floor(t.frac * tot.total + 1e-9) AS BIGINT) AS keep_n
+              FROM t, tot
+            ),
+            ranked AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST('0x' || substr(md5('mix:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                                ASC, doc_id ASC
+                     ) AS rn
+              FROM documents WHERE source IN (SELECT g FROM t)
+            )
+            SELECT r.source, r.doc_id FROM ranked r JOIN k ON k.g = r.source
+            WHERE r.rn <= k.keep_n
         """,
         "chunk_documents": """
             WITH toks AS (

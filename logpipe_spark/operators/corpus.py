@@ -204,6 +204,61 @@ def decontaminate(
     )
 
 
+def mix_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Mixture sampling: subsample the listed groups (domains / sources /
+    languages) so their relative sizes match ``targets`` — the
+    data-mixing step that turns raw domain counts into a designed
+    pre-training mixture. The achievable total T is set by the binding
+    group (T = min over g of n_g / target_g, so the scarcest group is
+    kept whole and every other group is trimmed to floor(target_g · T));
+    unlisted groups are dropped.
+
+    Selection within a group is by deterministic md5-hash order of the
+    stable key (same rule as ``hash_split``/``quota_sample``): invariant
+    under repartitioning and reproducible across engines. Plan: one tiny
+    per-group count aggregate collected to the driver (domains are few —
+    dozens, not millions), then a hash-partitioned per-group window rank
+    against a broadcast keep-count map. No global exchange; the
+    quota_sample skew caveat applies to pathologically large groups."""
+    from pyspark.sql import Window
+
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for g, f in targets.items():
+        if f <= 0:
+            raise ValueError(f"target fraction for {g!r} must be > 0, got {f}")
+    member = F.col(group_col).isin(list(targets))
+    counts = {
+        r["g"]: r["n"]
+        for r in docs.filter(member)
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    absent = sorted(set(targets) - set(counts))
+    if absent:
+        raise ValueError(f"target groups absent from corpus: {absent}")
+    total = min(counts[g] / f for g, f in targets.items())
+    keep = {g: int(f * total + 1e-9) for g, f in targets.items()}
+    keep_expr = F.create_map(
+        *[x for g, k in keep.items() for x in (F.lit(g), F.lit(k))]
+    )[F.col(group_col)]
+    h = base_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        docs.filter(member)
+        .withColumn("_mrank", F.row_number().over(w))
+        .filter(F.col("_mrank") <= keep_expr)
+        .drop("_mrank")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_size: int = 512,

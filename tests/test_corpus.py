@@ -270,3 +270,34 @@ def test_chunk_documents_zero_shuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mix_sample_matches_targets_and_is_stable(spark, docs):
+    """The binding group is kept whole; others trim to floor(frac*T);
+    unlisted groups are dropped; selection is repartition-invariant."""
+    from logpipe_spark.operators.corpus import mix_sample
+
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    got = mix_sample(docs, targets)
+    sizes = {r["source"]: r["n"] for r in got.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n0 = docs.filter(F.col("source") == "src0").count()
+    total = n0 / 0.5  # src0 binds on the uniform fixture
+    assert sizes == {g: int(f * total + 1e-9) for g, f in targets.items()}
+    # mixture achieved exactly; nothing else leaks through
+    assert set(sizes) == set(targets)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  mix_sample(docs.repartition(13), targets).select("doc_id").collect())
+    assert ids == ids2
+
+
+def test_mix_sample_validates_inputs(spark, docs):
+    from logpipe_spark.operators.corpus import mix_sample
+
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_sample(docs, {})
+    with pytest.raises(ValueError, match="> 0"):
+        mix_sample(docs, {"src0": 0.0})
+    with pytest.raises(ValueError, match="absent"):
+        mix_sample(docs, {"src0": 0.5, "no_such_source": 0.5})
