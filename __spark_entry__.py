@@ -1833,16 +1833,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 7 <> 0
         """,
         "mix_sample": """
-            WITH t(g, frac) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+            -- integer target parts over a common denominator (0.5/0.3/0.2
+            -- -> 5/3/2 over 10): keep_g = min_j floor(n_j * p_g / p_j) is
+            -- pure BIGINT arithmetic, mirroring mix_sample's Fraction math
+            -- (floor commutes with min), so no float quota-boundary drift
+            WITH t(g, p) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
             c AS (
               SELECT source AS g, COUNT(*) AS n FROM documents
               WHERE source IN (SELECT g FROM t) GROUP BY source
             ),
-            tot AS (SELECT MIN(c.n / t.frac) AS total FROM c JOIN t USING (g)),
             k AS (
-              SELECT t.g,
-                     CAST(floor(t.frac * tot.total + 1e-9) AS BIGINT) AS keep_n
-              FROM t, tot
+              SELECT tg.g,
+                     CAST(MIN((c.n * tg.p) // tj.p) AS BIGINT) AS keep_n
+              FROM t tg CROSS JOIN t tj JOIN c ON c.g = tj.g
+              GROUP BY tg.g
             ),
             ranked AS (
               SELECT source, doc_id,

@@ -204,12 +204,78 @@ def decontaminate(
     )
 
 
+#: Size of the ``base_hash60`` value space — hashes are uniform in
+#: [0, 2^60), which is what makes the per-group hash-threshold prefilter
+#: below a valid order-statistic bound.
+HASH_SPACE = 1 << 60
+
+#: Groups at most this large skip the prefilter and go straight through the
+#: exact per-group window — the sort of a sub-64Ki group is cheap, and the
+#: extra filter would only add plan noise at fixture scale.
+DEFAULT_WINDOW_CAP = 1 << 16
+
+
+def _prefilter_margin(keep_n: int) -> float:
+    """Safety factor on the expected k-th-order-statistic hash cutoff.
+
+    Rows below ``cutoff = (keep_n / n_g) * HASH_SPACE * margin`` are a
+    Binomial(n_g, keep_n*margin/n_g) sample; by a Chernoff lower-tail
+    bound the probability that fewer than ``keep_n`` survive is
+    <= exp(-keep_n * eps^2 / (2 + eps)) — with eps = 16/sqrt(keep_n) that
+    is < 1e-22 per group, and a lazy ``assert_true`` guard still catches
+    the adversarial remainder (a group whose keys all hash high) rather
+    than silently returning a short sample."""
+    import math
+
+    return 1.0 + max(0.1, 16.0 / math.sqrt(max(keep_n, 1)))
+
+
+def _skew_prefilter(
+    docs: DataFrame,
+    group_col: str,
+    h: Column,
+    cutoff: Column,
+) -> DataFrame:
+    """Keep only rows whose 60-bit hash is at or below the per-group
+    ``cutoff`` — the sliver that can possibly rank inside the group's
+    keep-count. This is what makes hash-order sampling survive a dominant
+    group at 100 TB: the exact ``row_number`` window downstream sorts
+    ~keep_n*margin rows per group instead of n_g (a 30-40% single-domain
+    corpus would otherwise sort through ONE task)."""
+    return docs.filter(h <= cutoff)
+
+
+def _guarded_rank_filter(
+    ranked: DataFrame,
+    rank_col: str,
+    surv_col: str,
+    keep_expr: Column,
+    want_expr: Column,
+    op_name: str,
+    group_col: str,
+) -> DataFrame:
+    """rank <= keep, plus a lazy exactness guard: if the prefilter left a
+    group with fewer survivors than it owes (``want_expr``), raise instead
+    of silently under-sampling. ``assert_true`` returns NULL on success,
+    so the conjunct keeps Catalyst from pruning the check away."""
+    guard = F.assert_true(
+        F.col(surv_col) >= want_expr,
+        F.concat(
+            F.lit(f"{op_name}: hash-threshold prefilter shortfall in group "),
+            F.col(group_col).cast("string"),
+            F.lit(" — raise the margin or window_cap"),
+        ),
+    )
+    return ranked.filter((F.col(rank_col) <= keep_expr) & guard.isNull())
+
+
 def mix_sample(
     docs: DataFrame,
     targets: dict[str, float],
     group_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "mix",
+    window_cap: int = DEFAULT_WINDOW_CAP,
 ) -> DataFrame:
     """Mixture sampling: subsample the listed groups (domains / sources /
     languages) so their relative sizes match ``targets`` — the
@@ -221,11 +287,26 @@ def mix_sample(
 
     Selection within a group is by deterministic md5-hash order of the
     stable key (same rule as ``hash_split``/``quota_sample``): invariant
-    under repartitioning and reproducible across engines. Plan: one tiny
-    per-group count aggregate collected to the driver (domains are few —
-    dozens, not millions), then a hash-partitioned per-group window rank
-    against a broadcast keep-count map. No global exchange; the
-    quota_sample skew caveat applies to pathologically large groups."""
+    under repartitioning and reproducible across engines.
+
+    Keep-counts are EXACT integer arithmetic, not float: targets are read
+    as decimal fractions (``Fraction(str(f))``), reduced to integer parts
+    ``p_g`` over a common denominator, and
+    ``keep_g = min_j floor(n_j * p_g / p_j)`` — the same closed form
+    (floor commutes with min) a BIGINT ``//`` computes in the SQL oracle,
+    so the two engines can never disagree by 1 at a quota boundary.
+
+    Plan: one tiny per-group count aggregate collected to the driver
+    (domains are few — dozens, not millions), then a per-group
+    hash-threshold prefilter (groups larger than ``window_cap`` keep only
+    hashes below ~keep_g/n_g of the hash space — see ``_skew_prefilter``)
+    feeding a hash-partitioned window rank against broadcast keep maps.
+    Only the ~keep_g-row sliver of a dominant group is ever sorted; a lazy
+    guard raises on the (cryptographically unlikely) prefilter shortfall
+    instead of under-sampling."""
+    from fractions import Fraction
+    from math import lcm
+
     from pyspark.sql import Window
 
     if not targets:
@@ -233,30 +314,66 @@ def mix_sample(
     for g, f in targets.items():
         if f <= 0:
             raise ValueError(f"target fraction for {g!r} must be > 0, got {f}")
+    fracs = {g: Fraction(str(f)) for g, f in targets.items()}
+    denom = lcm(*(fr.denominator for fr in fracs.values()))
+    parts = {g: int(fr * denom) for g, fr in fracs.items()}
     member = F.col(group_col).isin(list(targets))
-    counts = {
-        r["g"]: r["n"]
+    h = base_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    stats = {
+        r["g"]: (r["n"], r["hmin"])
         for r in docs.filter(member)
-        .groupBy(F.col(group_col).alias("g"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col(group_col).alias("g"), h.alias("_h"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("_h").alias("hmin"))
         .collect()
     }
+    counts = {g: n for g, (n, _) in stats.items()}
     absent = sorted(set(targets) - set(counts))
     if absent:
         raise ValueError(f"target groups absent from corpus: {absent}")
-    total = min(counts[g] / f for g, f in targets.items())
-    keep = {g: int(f * total + 1e-9) for g, f in targets.items()}
-    keep_expr = F.create_map(
-        *[x for g, k in keep.items() for x in (F.lit(g), F.lit(k))]
-    )[F.col(group_col)]
-    h = base_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    keep = {
+        g: min((counts[j] * parts[g]) // parts[j] for j in targets)
+        for g in targets
+    }
+    # cutoff floored at the group's min hash so the shortfall guard always
+    # sees >= 1 row per group (same airtightness argument as quota_sample)
+    cutoff = {
+        g: (
+            HASH_SPACE
+            if counts[g] <= max(window_cap, keep[g])
+            else max(
+                min(
+                    HASH_SPACE,
+                    int(
+                        float(HASH_SPACE)
+                        * keep[g]
+                        * _prefilter_margin(keep[g])
+                        / counts[g]
+                    )
+                    + 1,
+                ),
+                stats[g][1],
+            )
+        )
+        for g in targets
+    }
+
+    def _bmap(d: dict[str, int]) -> Column:
+        return F.create_map(
+            *[x for g, v in d.items() for x in (F.lit(g), F.lit(v))]
+        )[F.col(group_col)]
+
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
-    return (
-        docs.filter(member)
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        _skew_prefilter(docs.filter(member), group_col, h, _bmap(cutoff))
         .withColumn("_mrank", F.row_number().over(w))
-        .filter(F.col("_mrank") <= keep_expr)
-        .drop("_mrank")
+        .withColumn("_msurv", F.count(F.lit(1)).over(wg))
     )
+    return _guarded_rank_filter(
+        ranked, "_mrank", "_msurv", _bmap(keep), _bmap(keep),
+        "mix_sample", group_col,
+    ).select(*docs.columns)
 
 
 def chunk_documents(
@@ -345,12 +462,61 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("text_redacted", redacted)
 
 
+def _quota_prefiltered(
+    docs: DataFrame,
+    group_col: str,
+    quota: int,
+    key_col: str,
+    salt: str,
+    window_cap: int,
+    margin: float | None = None,
+) -> tuple[DataFrame, Column]:
+    """The pre-window half of ``quota_sample``, factored out so tests can
+    measure the sliver directly. Returns (prefiltered df carrying
+    ``_n_g``/``_cutoff``, the hash column). Group sizes stay distributed:
+    a broadcast-joined count aggregate (map-side partials, group keys
+    only), NOT a driver collect — per-domain grouping can mean millions of
+    groups."""
+    h = base_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    counts = (
+        docs.select(F.col(group_col).alias("_g"), h.alias("_h"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n_g"), F.min("_h").alias("_hmin"))
+    )
+    m = _prefilter_margin(quota) if margin is None else margin
+    # floor the cutoff at the group's min hash: every group keeps >= 1 row,
+    # so the shortfall guard downstream always has a row to evaluate on —
+    # a fully starved group would otherwise vanish silently, guard unseen
+    cutoff = F.when(
+        F.col("_n_g") <= F.greatest(F.lit(window_cap), F.lit(quota)),
+        F.lit(HASH_SPACE),
+    ).otherwise(
+        F.greatest(
+            F.least(
+                F.lit(HASH_SPACE),
+                (F.ceil(F.lit(float(HASH_SPACE) * quota * m) / F.col("_n_g")) + 1)
+                .cast("long"),
+            ),
+            F.col("_hmin"),
+        )
+    )
+    # null-safe key so a NULL group behaves exactly like the plain window
+    # (an inner equi-join on the column name would silently drop it)
+    joined = docs.join(
+        F.broadcast(counts.withColumn("_cutoff", cutoff)),
+        F.col(group_col).eqNullSafe(F.col("_g")),
+    ).drop("_g")
+    return _skew_prefilter(joined, group_col, h, F.col("_cutoff")), h
+
+
 def quota_sample(
     docs: DataFrame,
     group_col: str = "lang",
     quota: int = 100,
     key_col: str = "doc_id",
     salt: str = "quota",
+    window_cap: int = DEFAULT_WINDOW_CAP,
+    _margin: float | None = None,
 ) -> DataFrame:
     """Cap every group at ``quota`` docs — the over-representation fix
     (per-language / per-domain / per-source caps) a corpus runs after
@@ -364,19 +530,32 @@ def quota_sample(
     sampling passes). Ties on the hash break by key, so the result is a
     total function of the group's key set.
 
-    Plan: one hash-partitioned window per group (no global exchange, no
-    SinglePartition — auto-screened by test_plan_quality); the sort is
-    per-group over ~group-size rows. Skewed groups: a group 100× the
-    median sorts 100× the rows in one task — at that shape, pre-filter
-    with an approximate per-group threshold on the hash before the exact
-    window, which this fixture-scale implementation deliberately omits.
+    Plan: per-group hash-threshold prefilter, then one hash-partitioned
+    window per group (no global exchange, no SinglePartition —
+    auto-screened by test_plan_quality). Groups up to ``window_cap`` rows
+    sort whole inside their window task; a larger (skewed) group is first
+    cut to the ~quota*margin rows whose hash falls below
+    ``quota/n_g * 2^60 * margin`` — the only rows that can possibly rank
+    inside the quota — so a domain holding 30-40% of a 100 TB corpus sorts
+    ~quota rows in its window task, not n_g. The prefilter changes NOTHING
+    about which rows are selected (same hash, same order, and a lazy
+    ``assert_true`` guard raises on the astronomically-unlikely shortfall
+    instead of under-sampling), so results are bit-identical to the plain
+    window. ``_margin`` exists for tests to force that guard to fire.
     """
     from pyspark.sql import Window
 
-    h = base_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
-    return (
-        docs.withColumn("_qrank", F.row_number().over(w))
-        .filter(F.col("_qrank") <= quota)
-        .drop("_qrank")
+    pre, h = _quota_prefiltered(
+        docs, group_col, quota, key_col, salt, window_cap, _margin
     )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        pre.withColumn("_qrank", F.row_number().over(w))
+        .withColumn("_qsurv", F.count(F.lit(1)).over(wg))
+    )
+    return _guarded_rank_filter(
+        ranked, "_qrank", "_qsurv", F.lit(quota),
+        F.least(F.lit(quota).cast("long"), F.col("_n_g")),
+        "quota_sample", group_col,
+    ).select(*docs.columns)
