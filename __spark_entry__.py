@@ -962,6 +962,69 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).select("vec_id")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """Partition-pruned ANN top-k over a WRITTEN IVF index
+    (operators/similarity.py: write_ivf_index / topk_from_ivf_index) —
+    the k-means-cell counterpart of q_ann_lsh_topk, value-checked against
+    the same exact brute-force oracle via the same planted construction:
+    ten perturbed copies of query vec 0 (cosine >= 0.998) are the provable
+    true top-10 in an otherwise-random corpus (pairwise cosine <= ~0.52).
+    The ten planted vectors are within ~1.6 degrees of the query, so they
+    share a k-means cell assignment neighborhood; nprobe=4 of 16 cells
+    covers any assignment tie, and the candidate re-rank is exact, so the
+    ANN answer equals the exact answer.
+
+    Plan: the corpus is materialized partitioned by cell (one directory
+    per k-means cell, centers in a JSON sidecar); the query ranks cells
+    driver-side and scans only nprobe directories — `cell IN (...)` is a
+    partition-column predicate, so 12 of 16 directories never enter the
+    file listing (pruning asserted via the scan numFiles metric in
+    tests/test_similarity.py::test_ivf_index_partition_pruning).
+    """
+    import os as _os
+
+    from logpipe_spark.operators.similarity import (
+        topk_from_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    sf = _os.path.basename(sf_dir.rstrip("/"))
+    path = (
+        f"/tmp/logpipe_contract_cache/ann_ivf_index_v1_{sf}"
+        f"_{st.st_size}_{int(st.st_mtime)}"
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        orig = emb.filter(F.col("vec_id") != 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q0 = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("qv")
+        )
+        js = spark.range(1, 11).select(F.col("id").cast("int").alias("j"))
+        planted = q0.crossJoin(F.broadcast(js)).select(
+            (F.lit(200000) + F.col("j")).cast("long").alias("vec_id"),
+            F.transform(
+                "qv",
+                lambda x, i: x * (1 + F.lit(0.002) * F.col("j") * (1 - 2 * (i % 2))),
+            ).alias("embedding"),
+        )
+        build = f"{path}.build-{_os.getpid()}"
+        write_ivf_index(orig.unionByName(planted), build, n_cells=16, seed=42)
+        try:
+            _os.rename(build, path)
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.rmtree(build, ignore_errors=True)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return topk_from_ivf_index(spark, path, qv, k=10, nprobe=4).select("vec_id")
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, *exact* mode at a low threshold
     (0.4): inherently O(n²) compute, but planned as a block-grid equi-join
@@ -1077,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,  # threshold changed c3109c4
         "embedding_neardup_lsh": q_embedding_neardup_lsh,  # plan rework 04fec5e
         "ann_lsh_topk": q_ann_lsh_topk,  # r4: switched to indexed path
+        "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         # -- priority 2: never driver-checked (overflowed r3's 50-cap) --
         "embedding_neardup": q_embedding_neardup,
         "cube": q_cube,
@@ -1491,6 +1555,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_lsh_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            js AS (SELECT CAST(range AS INT) AS j FROM range(1, 11)),
+            planted AS (
+                SELECT CAST(200000 + j AS BIGINT) AS vec_id,
+                       list_transform(q.qv,
+                           (x, i) -> x * (1 + 0.002 * j * (1 - 2 * ((i - 1) % 2)))
+                       ) AS embedding
+                FROM q CROSS JOIN js),
+            corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+                UNION ALL SELECT vec_id, embedding FROM planted),
+            scored AS (
+                SELECT c.vec_id,
+                       list_cosine_similarity(c.embedding, q.qv) AS sim
+                FROM corpus c CROSS JOIN q WHERE c.vec_id <> 0)
+            SELECT vec_id FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": """
+            -- identical exact brute-force top-k as ann_lsh_topk: the IVF
+            -- nprobe path must return the true top-10 (planted structure
+            -- guarantees full recall; see q_ann_ivf_topk docstring)
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0),
             js AS (SELECT CAST(range AS INT) AS j FROM range(1, 11)),
