@@ -207,10 +207,22 @@ def source_file_rows(paths: list[str]) -> list[tuple]:
     Returns [(partition_id, file, rows_in)] ordered by path."""
     import pyarrow.parquet as pq
 
-    return [
-        (i, p, pq.ParquetFile(p).metadata.num_rows)
-        for i, p in enumerate(sorted(paths))
-    ]
+    rows = []
+    for i, p in enumerate(sorted(paths)):
+        try:
+            n = pq.ParquetFile(p).metadata.num_rows
+        except Exception as exc:
+            # name the offending path: an unreadable source entry must be
+            # diagnosable from the message, not from a pyarrow traceback
+            # with no filename (the write already happened; the caller's
+            # snapshot stays uncommitted and the re-run hits this again)
+            raise ValueError(
+                f"source_file_rows: {p!r} is not a readable parquet file "
+                f"({exc}) — the input-edge lineage requires every "
+                "non-hidden file in the snapshot dir to be parquet"
+            ) from exc
+        rows.append((i, p, n))
+    return rows
 
 
 def file_lineage(spark, data_dir: str, sink_col: str = "sink") -> DataFrame:
@@ -233,8 +245,16 @@ def file_lineage(spark, data_dir: str, sink_col: str = "sink") -> DataFrame:
     from pyspark.sql.window import Window
 
     df = spark.read.option("basePath", data_dir).parquet(data_dir)
+    # canonical file form: plain POSIX path for local files (matching the
+    # driver-side file_lineage_rows/source_file_rows emissions), scheme'd
+    # URI for genuinely remote files — _metadata.file_path is always a
+    # file: URI locally, which would otherwise leak a second representation
+    # into consumers joining lineage across modes/rounds
     per_file = df.groupBy(
-        F.col("_metadata.file_path").alias("file"), F.col(sink_col).alias("sink")
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:(//)?", ""
+        ).alias("file"),
+        F.col(sink_col).alias("sink"),
     ).agg(F.count(F.lit(1)).alias("routed"))
     w = Window.orderBy("file")
     return per_file.select(

@@ -183,15 +183,24 @@ def run_pipeline(
                     (run_id, int(snap), pid, None, None, n_routed, None, sink, f)
                 )
         if src_paths is None:
-            # mirror Spark's data-file rule: everything except hidden and
-            # metadata files counts (a parquet part without the .parquet
-            # suffix is still read by the scan, so it must appear in the
-            # input-edge lineage or conservation breaks)
-            src_paths = [
-                os.path.join(snap_dir, n)
-                for n in os.listdir(snap_dir)
-                if not n.startswith((".", "_"))
-            ]
+            # mirror Spark's data-file rule: every non-hidden FILE at any
+            # depth counts (a parquet part without the .parquet suffix is
+            # still read by the scan, and a partitioned subdirectory's
+            # parts are too, so both must appear in the input-edge lineage
+            # or conservation breaks); directories themselves are walked,
+            # never handed to the footer reader — a flat listing here once
+            # fed a subdirectory to pq.ParquetFile, crashing after the
+            # data write and poisoning every resume
+            src_paths = []
+            for dirpath, dirnames, filenames in os.walk(snap_dir):
+                dirnames[:] = sorted(
+                    d for d in dirnames if not d.startswith((".", "_"))
+                )
+                src_paths += [
+                    os.path.join(dirpath, n)
+                    for n in filenames
+                    if not n.startswith((".", "_"))
+                ]
         for pid, f, rows_in in source_file_rows(src_paths):
             lineage_rows.append(
                 (run_id, int(snap), pid, rows_in, None, None, None, None, f)

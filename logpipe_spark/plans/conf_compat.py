@@ -54,6 +54,37 @@ _IGNORED_KEYS = {
 }
 
 
+_BARE_UNIT_RE = re.compile(
+    r':\s*(\d+(?:\.\d+)?[a-zA-Z]+)\s*([,}\]\n])'
+)
+
+
+def _requote_bare_units(body: str) -> str:
+    """Quote bare unit scalars (``: 10ms,`` -> ``: "10ms",``) — but ONLY
+    outside string literals, so a strict-JSON value that happens to
+    contain ``: 10ms,`` (e.g. a command line) is untouched and the
+    JSON-superset property holds. Walks the body tracking quote/escape
+    state and applies the rewrite to the between-string segments."""
+    parts: list[str] = []
+    i, start, in_str = 0, 0, False
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if not in_str:
+            if c == '"':
+                parts.append(_BARE_UNIT_RE.sub(r': "\1"\2', body[start:i]))
+                start, in_str = i, True
+        elif c == "\\":
+            i += 1
+        elif c == '"':
+            parts.append(body[start:i + 1])
+            start, in_str = i + 1, False
+        i += 1
+    tail = body[start:]
+    parts.append(tail if in_str else _BARE_UNIT_RE.sub(r': "\1"\2', tail))
+    return "".join(parts)
+
+
 def parse_logpipe_conf(text: str) -> dict:
     """Parse a reference conf: strict JSON plus the two fasterjson
     liberties the shipped confs use (``//`` comment lines; bare unit
@@ -63,11 +94,7 @@ def parse_logpipe_conf(text: str) -> dict:
         line for line in text.splitlines()
         if not line.lstrip().startswith("//")
     ]
-    body = "\n".join(lines)
-    body = re.sub(
-        r':\s*(\d+(?:\.\d+)?[a-zA-Z]+)\s*([,}\]\n])', r': "\1"\2', body
-    )
-    return json.loads(body)
+    return json.loads(_requote_bare_units("\n".join(lines)))
 
 
 def _plugin_name(block: dict) -> str:
@@ -187,9 +214,16 @@ def translate_logpipe_conf(
                 "translate": block.get("translate_charset"),
                 "min_fields": block.get("fields_strictly"),
             }
-            if str(block.get("bulk", "")).lower() not in ("true", "1"):
+            # logpipe-output-es.c:202-204: bulk is enabled whenever the
+            # key is present and not "false"/"no" — so bulk:"yes"/"1"/
+            # anything-else enables; only absence or an explicit negative
+            # disables it
+            bulk_on = "bulk" in block and str(block["bulk"]).lower() not in (
+                "false", "no",
+            )
+            if not bulk_on:
                 out.warnings.append(
-                    "output-es bulk=false: single-doc POSTs become "
+                    "output-es bulk disabled: single-doc POSTs become "
                     "batch_rows=1 bulk payloads here"
                 )
             for k in ("iconv_from", "iconv_to"):
@@ -207,13 +241,23 @@ def translate_logpipe_conf(
             }
             sink_name = sink_name or "es"
         elif plugin == "output-tcp":
+            # logpipe-output-tcp.c:57-99: the peer loop stops at the FIRST
+            # missing/empty ipN (a gap ends collection, later ipM are
+            # ignored), and each ipN requires its own portN — the
+            # reference hard-errors on a missing one rather than falling
+            # back to the base "port"
             peers = []
             for k in ["ip"] + [f"ip{i}" for i in range(2, 9)]:
-                if k in block:
-                    suffix = k[2:] or ""
-                    peers.append(
-                        (block[k], int(block.get(f"port{suffix}", block["port"])))
+                if k not in block or str(block[k]) == "":
+                    break
+                suffix = k[2:]
+                pk = f"port{suffix}"
+                if pk not in block:
+                    raise ValueError(
+                        f"output-tcp: expect config for {pk!r} to pair "
+                        f"with {k!r} (logpipe-output-tcp.c:76-80)"
                     )
+                peers.append((block[k], int(block[pk])))
             out.tcp_peers.extend(peers)
             sink_name = sink_name or "tcp"
         elif plugin == "output-kafka":

@@ -137,3 +137,57 @@ def test_dialect_parser_is_json_superset():
         assert parse_logpipe_conf(text) == v
 
     check()
+
+
+def test_bare_unit_requote_leaves_string_literals_alone():
+    """The JSON-superset property must hold even when a string VALUE
+    contains text shaped like a bare unit scalar (the r4 parser re-quoted
+    inside string literals and broke on this)."""
+    doc = {"cmd": "sleep: 10ms, then go", "note": 'quoted "x: 5s," inside'}
+    import json as _json
+
+    assert parse_logpipe_conf(_json.dumps(doc)) == doc
+    # ...while a genuinely bare scalar next to such a string still re-quotes
+    mixed = '{ "cmd":"wait: 3ms, ok" , "read_full_file_time":10s }'
+    assert parse_logpipe_conf(mixed) == {
+        "cmd": "wait: 3ms, ok", "read_full_file_time": "10s",
+    }
+
+
+def test_es_bulk_enabled_unless_false_or_no():
+    """logpipe-output-es.c:202-204: bulk is on whenever the key is present
+    and not "false"/"no" — bulk:"yes" must NOT warn; absence and explicit
+    negatives must."""
+    base = ('{{ "outputs":[ {{ "plugin":"so/logpipe-output-es.so",'
+            '"ip":"h","port":9200,"index":"i","type":"t"{bulk} }} ] }}')
+
+    def warns(bulk_frag):
+        t = translate_logpipe_conf(base.format(bulk=bulk_frag))
+        return any("bulk" in w for w in t.warnings)
+
+    assert not warns(',"bulk":"true"')
+    assert not warns(',"bulk":"yes"')   # r4 spuriously warned on this
+    assert not warns(',"bulk":"1"')
+    assert warns("")                    # absent -> disabled
+    assert warns(',"bulk":"false"')
+    assert warns(',"bulk":"no"')
+
+
+def test_tcp_peer_collection_matches_reference():
+    """logpipe-output-tcp.c:57-99: collection stops at the first missing
+    ipN, and a present ipN with a missing portN is a hard error (never a
+    silent fallback to the base port)."""
+    import pytest
+
+    def tr(peer_frag):
+        return translate_logpipe_conf(
+            '{ "outputs":[ { "plugin":"so/logpipe-output-tcp.so",'
+            + peer_frag + " } ] }"
+        )
+
+    # gap at ip2: ip3 is ignored, not collected past the gap
+    t = tr('"ip":"a","port":1,"ip3":"c","port3":3')
+    assert t.tcp_peers == [("a", 1)]
+    # ip2 present without port2: reference errors out
+    with pytest.raises(ValueError, match="port2"):
+        tr('"ip":"a","port":1,"ip2":"b"')

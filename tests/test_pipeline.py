@@ -158,3 +158,53 @@ def test_resume_after_crash(spark, transcripts_pdf, dim_df, rules, golden, tmp_p
         .count()
     )
     assert dups == 0
+
+
+def test_partitioned_snapshot_layout_keeps_lineage_conservation(
+    spark, transcripts_pdf, dim_df, rules, tmp_path_factory
+):
+    """A snapshot whose parquet parts live in a hive-partitioned
+    subdirectory (a layout spark.read.parquet accepts) must process and
+    commit — the input-edge lineage walks files at any depth instead of
+    handing the subdirectory itself to the footer reader (which crashed
+    after the data write and poisoned every resume)."""
+    import shutil
+
+    root = tmp_path_factory.mktemp("nested")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    write_snapshots(transcripts_pdf, src, n_snapshots=2)
+    snap1 = os.path.join(src, "snapshot=1")
+    sub = os.path.join(snap1, "part=0")
+    os.makedirs(sub)
+    for name in os.listdir(snap1):
+        p = os.path.join(snap1, name)
+        if os.path.isfile(p) and not name.startswith((".", "_")):
+            shutil.move(p, os.path.join(sub, name))
+
+    res = run_pipeline(spark, src, out, dim_df, rules, salt_partitions=4)
+    assert res["processed"] == [0, 1]
+
+    lin = read_lineage(spark, out)
+    sentinel = lin.filter(F.col("partition_id") == -1)
+    assert sentinel.agg(F.sum("rows_in")).collect()[0][0] == len(transcripts_pdf)
+    # the nested snapshot's input-file rows point at files, and their sum
+    # still matches the snapshot sentinel (conservation at the input edge)
+    src_rows = lin.filter(
+        (F.col("partition_id") >= 0) & F.col("sink").isNull()
+        & (F.col("snapshot_id") == 1)
+    ).collect()
+    assert src_rows and all("part=0" in r["file"] for r in src_rows)
+    assert sum(r["rows_in"] for r in src_rows) == (
+        sentinel.filter(F.col("snapshot_id") == 1).collect()[0]["rows_in"]
+    )
+
+
+def test_source_file_rows_names_unreadable_path():
+    from logpipe_spark.operators.sinks import source_file_rows
+
+    bad = "/tmp/not_a_parquet_sidecar.txt"
+    with open(bad, "w") as f:
+        f.write("plain text\n")
+    with pytest.raises(ValueError, match="not_a_parquet_sidecar"):
+        source_file_rows([bad])
