@@ -519,13 +519,15 @@ def q_dedup_keep_list(spark, sf_dir):
 
 def q_dedup_components(spark, sf_dir):
     """Connected components over the near-dup graph — the ITERATIVE
-    algorithm row: Jaccard-0.8 pairs unioned with planted 4-node chain
-    edges (doc_id ↔ doc_id+1 when doc_id % 10 < 3 — guarantees multi-hop
-    components at every SF, so the fixpoint loop genuinely iterates).
-    Spark side: min-label propagation with per-round localCheckpoint
-    (operators/dedup.py:connected_components); oracle: recursive-CTE
-    reachability computing the same min-reachable-id."""
-    from logpipe_spark.operators.dedup import connected_components
+    algorithm row: Jaccard-0.8 pairs unioned with planted chain edges
+    (doc_id ↔ doc_id+1 when doc_id % 10 < 3, PLUS a single deep chain over
+    doc_id < 120 whose diameter 119 exceeds min-label propagation's default
+    30-round budget — so this row exercises the production deep-graph
+    path). Spark side: large-star/small-star alternation (Kiveris et al.,
+    SoCC'14; operators/dedup.py:connected_components_star) — O(log^2 n)
+    alternations, id-only shuffles; oracle: recursive-CTE reachability
+    computing the same min-reachable-id."""
+    from logpipe_spark.operators.dedup import connected_components_star
 
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("doc_a", "doc_b")
@@ -533,12 +535,12 @@ def q_dedup_components(spark, sf_dir):
     e = docs.select("doc_id").alias("e")
     chain = (
         d.join(e, F.col("d.doc_id") + 1 == F.col("e.doc_id"))
-        .filter(F.col("d.doc_id") % 10 < 3)
+        .filter((F.col("d.doc_id") % 10 < 3) | (F.col("d.doc_id") < 120))
         .select(
             F.col("d.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
         )
     )
-    return connected_components(pairs.union(chain).distinct()).select(
+    return connected_components_star(pairs.union(chain).distinct()).select(
         F.col("node").alias("doc_id"), "component"
     )
 
@@ -1862,7 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         , chain AS (
           SELECT d.doc_id AS doc_a, e.doc_id AS doc_b
           FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
-          WHERE d.doc_id % 10 < 3
+          WHERE d.doc_id % 10 < 3 OR d.doc_id < 120
         ), alledges AS (
           SELECT doc_a, doc_b FROM pairs
           UNION

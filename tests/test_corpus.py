@@ -135,6 +135,60 @@ def test_connected_components_raises_when_budget_too_small(spark):
     assert set(got.values()) == {0}
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """large-star/small-star (Kiveris et al., SoCC'14) must produce the
+    exact labeling min-label propagation does on a shallow graph."""
+    from logpipe_spark.operators.dedup import connected_components_star
+    edges = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_a": [1, 2, 3, 10, 11, 10, 20, 4],
+            "doc_b": [2, 3, 4, 11, 12, 12, 21, 10],
+        })
+    )
+    want = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(edges).collect()}
+    assert got == want == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 1, 11: 1, 12: 1, 20: 20, 21: 20}
+
+
+def test_connected_components_star_deep_chain_bounded_rounds(spark):
+    """The deep-graph contract: a 2000-link chain (diameter 1999) is far
+    beyond any sane min-label budget, yet star contraction must finish in
+    O(log^2 n) alternations — assert a hard bound of 12 (log2(2000)≈11),
+    and that labels are exact. This is the scale argument: rounds (and so
+    shuffles) grow with log(diameter), not diameter."""
+    from logpipe_spark.operators.dedup import connected_components_star
+    n = 2000
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)})
+    )
+    out, rounds = connected_components_star(edges, return_rounds=True)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert rounds <= 12, f"star contraction took {rounds} alternations"
+    assert len(got) == n and set(got.values()) == {0}
+
+
+def test_connected_components_star_non_contiguous_ids_and_isolated_pairs(spark):
+    """Component minima are ids, not ranks: sparse 64-bit-ish ids and many
+    small components must label correctly in few rounds."""
+    from logpipe_spark.operators.dedup import connected_components_star
+    # 50 disjoint pairs with scattered ids, plus one 5-cycle
+    a = [i * 1_000_003 + 7 for i in range(50)]
+    b = [x + 13 for x in a]
+    cyc_a = [900, 901, 902, 903, 904]
+    cyc_b = [901, 902, 903, 904, 900]
+    edges = spark.createDataFrame(
+        pd.DataFrame({"doc_a": a + cyc_a, "doc_b": b + cyc_b})
+    )
+    out, rounds = connected_components_star(edges, return_rounds=True)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert rounds <= 6
+    for x, y in zip(a, b):
+        assert got[x] == got[y] == x
+    assert {got[v] for v in cyc_a} == {900}
+
+
 def test_quota_sample_deterministic_and_both_branches(spark, docs):
     """Selection is a function of key sets only: invariant under
     repartitioning; groups under quota pass through whole, groups over it
