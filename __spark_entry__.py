@@ -450,6 +450,22 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_bpe_merge_tokens(spark, sf_dir):
+    """Tokenizer-FAITHFUL token count: the frozen 64-entry merge table
+    (functions/bpe_merges.py) applied as a pure-JVM literal-replace chain
+    (functions/bpe.py — greedy left-to-right BPE, exactness argument in the
+    module docstring). The oracle runs the IDENTICAL replace chain in
+    DuckDB, so values are checked merge-for-merge."""
+    from logpipe_spark.functions.bpe import bpe_token_count
+    from logpipe_spark.functions.bpe_merges import DEFAULT_MERGES
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), DEFAULT_MERGES).alias("bpe_merge_tokens"),
+    )
+
+
 def q_cube(spark, sf_dir):
     """§2.5 cube: all grouping-set combinations of (status, priority)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1125,37 +1141,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          tail, oldest-verified first, so over successive rounds every entry
          cycles back through the window.
     When you modify a query or its oracle, MOVE IT UP into the first 50.
-    Round-4 window: the 7 entries that overflowed in r3
-    (embedding_neardup(_lsh), cube, set_intersect, doc_fingerprint,
-    bpe_tokens, multimodal_features) plus this round's changes
-    (json_extract, ann_lsh_topk) and the new quota_sample, decontaminate,
-    repetition_stats, pii_redact, chunk_documents, and mix_sample lead;
-    13 veterans green since r1-r3 and unchanged (rollup,
-    parse_extract_pandas, es_bulk_render, asof_join, range_join,
-    percentiles, grep_filter, tokenize_fields, template_project,
-    template_missing_fields, orderby_limit, key_cut, translate_charset)
-    hold the tail.
+    Round-5 window: this round's changes lead — quota_sample/mix_sample
+    (hash-threshold skew prefilter), dedup_components (large-star/small-star
+    deep-graph path + deep-chain fixture), sequence_pack (token_count_col
+    parameter), the new ann_ivf_topk and bpe_merge_tokens — followed by the
+    13 veterans last green r1-r3 (rotated back through the window per the
+    policy above). The 15-entry tail holds r4-green entries whose code is
+    UNCHANGED since their r4 verdict (json_extract, set_intersect,
+    embedding_neardup(_lsh), ann_lsh_topk, cube, doc_fingerprint,
+    bpe_tokens, multimodal_features, decontaminate, repetition_stats,
+    pii_redact, chunk_documents, fields_strictly, pivot).
     """
     return {
-        # -- priority 1: changed since last green check / failed in r3 --
-        "json_extract": q_json_extract,  # r3 FAIL: oracle HUGEINT, fixed
-        "set_intersect": q_set_intersect,  # threshold changed c3109c4
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,  # plan rework 04fec5e
-        "ann_lsh_topk": q_ann_lsh_topk,  # r4: switched to indexed path
+        # -- priority 1: changed this round (re-verify) or brand new --
+        "quota_sample": q_quota_sample,  # r5: hash-threshold skew prefilter
+        "mix_sample": q_mix_sample,  # r5: prefilter + Fraction keep-counts
+        "dedup_components": q_dedup_components,  # r5: star CC, deep fixture
+        "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
-        # -- priority 2: never driver-checked (overflowed r3's 50-cap) --
-        "embedding_neardup": q_embedding_neardup,
-        "cube": q_cube,
-        "doc_fingerprint": q_doc_fingerprint,
-        "bpe_tokens": q_bpe_tokens,
-        "multimodal_features": q_multimodal_features,
-        "quota_sample": q_quota_sample,  # r4 new operator
-        "decontaminate": q_decontaminate,  # r4 new operator
-        "repetition_stats": q_repetition_stats,  # r4 new operator
-        "pii_redact": q_pii_redact,  # r4 new operator
-        "chunk_documents": q_chunk_documents,  # r4 new operator
-        "mix_sample": q_mix_sample,  # r4 new operator
-        # -- green in r3, kept in-window --
+        "bpe_merge_tokens": q_bpe_merge_tokens,  # r5 new: merge-table BPE
+        # -- priority 2: veterans last green r1-r3, rotating back through --
+        "rollup": q_rollup,
+        "parse_extract_pandas": q_parse_extract_pandas,
+        "es_bulk_render": q_es_bulk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "percentiles": q_percentiles,
+        "grep_filter": q_grep_filter,
+        "tokenize_fields": q_tokenize_fields,
+        "template_project": q_template_project,
+        "template_missing_fields": q_template_missing,
+        "orderby_limit": q_orderby_limit,
+        "key_cut": q_key_cut,
+        "translate_charset": q_translate_charset,
+        # -- green in r4, kept in-window (sinks/pipeline/lineage adjacent
+        #    or simply still fitting under the 50-cap) --
         "parse_extract": q_parse_extract,
         "route_fanout": q_route_fanout,
         "route_dropped": q_route_dropped,
@@ -1178,10 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "lead_lag": q_lead_lag,
-        "dedup_components": q_dedup_components,
         "hash_split": q_hash_split,
         "corpus_filter": q_corpus_filter,
-        "sequence_pack": q_sequence_pack,
         "ann_cosine_topk": q_ann_cosine_topk,
         "text_quality": q_text_quality,
         "token_stats": q_token_stats,
@@ -1189,24 +1207,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "date_rollup": q_date_rollup,
         "langid_quality": q_langid_quality,
+        # NOTE: "template_nsub" intentionally removed -- it duplicated
+        # template_project; template_missing_fields covers the other branch
+        # -- priority 3 (tail): green r4, implementations unchanged since --
         "fields_strictly": q_fields_strictly,
         "pivot": q_pivot,
-        # NOTE: "template_nsub" intentionally removed — it duplicated
-        # template_project; template_missing_fields covers the other branch
-        # -- priority 3 (tail): veterans, green + unchanged since r1/r2 --
-        "rollup": q_rollup,  # rotated out for r4's mix_sample
-        "parse_extract_pandas": q_parse_extract_pandas,  # rotated out for r4's chunk_documents
-        "es_bulk_render": q_es_bulk,  # rotated out for r4's pii_redact
-        "asof_join": q_asof_join,  # rotated out for r4's decontaminate
-        "range_join": q_range_join,  # rotated out for r4's repetition_stats
-        "percentiles": q_percentiles,  # rotated out for r4's quota_sample
-        "grep_filter": q_grep_filter,
-        "tokenize_fields": q_tokenize_fields,
-        "template_project": q_template_project,
-        "template_missing_fields": q_template_missing,
-        "orderby_limit": q_orderby_limit,
-        "key_cut": q_key_cut,
-        "translate_charset": q_translate_charset,
+        "json_extract": q_json_extract,
+        "set_intersect": q_set_intersect,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "cube": q_cube,
+        "doc_fingerprint": q_doc_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
+        "multimodal_features": q_multimodal_features,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1419,6 +1437,16 @@ def _langid_quality_sql() -> str:
         f"SELECT doc_id, {case} AS lang_guess, CAST({quality} AS INT) AS quality "
         "FROM documents"
     )
+
+
+def _bpe_merge_tokens_oracle() -> str:
+    """DuckDB mirror of q_bpe_merge_tokens: the SAME frozen merge table
+    applied as the SAME replace chain (bpe_token_count_sql builds it)."""
+    from logpipe_spark.functions.bpe import bpe_token_count_sql
+    from logpipe_spark.functions.bpe_merges import DEFAULT_MERGES
+
+    expr = bpe_token_count_sql("text", DEFAULT_MERGES)
+    return f"SELECT doc_id, {expr} AS bpe_merge_tokens FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1705,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS bpe_tokens
             FROM documents
         """,
+        "bpe_merge_tokens": _bpe_merge_tokens_oracle(),
         "cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -109,6 +109,7 @@ def sequence_pack(
     n_shards: int = 8,
     text_col: str = "text",
     key_col: str = "doc_id",
+    token_count_col: Column | None = None,
 ) -> DataFrame:
     """Next-fit sequence packing: assign docs to ``pack_id`` bins so each
     bin's token total stays ≤ ``budget`` (a doc larger than the budget
@@ -127,8 +128,18 @@ def sequence_pack(
     BEFORE the python kernel so the kernel never touches text.
 
     Docs with zero tokens are dropped (they pack nowhere); the SQL mirror
-    is a per-shard recursive CTE with identical next-fit arithmetic."""
-    toks = F.size(_tokens(F.col(text_col))).cast("int")
+    is a per-shard recursive CTE with identical next-fit arithmetic.
+
+    ``token_count_col`` swaps the budget currency: pass any JVM count
+    expression — e.g. ``bpe_token_count(F.col("text"), DEFAULT_MERGES)``
+    from ``functions/bpe.py`` — and bins are filled in exact tokenizer
+    tokens instead of whitespace words. The packing kernel is unchanged
+    (it only ever sees integer counts)."""
+    toks = (
+        token_count_col.cast("int")
+        if token_count_col is not None
+        else F.size(_tokens(F.col(text_col))).cast("int")
+    )
     keyed = docs.select(
         F.col(key_col).cast("long").alias("doc_id"),
         (base_hash60(F.col(key_col).cast("string")) % n_shards)
