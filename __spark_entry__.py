@@ -1084,21 +1084,46 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked on its deterministic half: a
-    media table derived from documents (payload = utf-8 bytes of text,
-    kind round-robin by doc_id) runs through the real Arrow-batched
-    mapInPandas feature pass (operators/multimodal.py). n_bytes and sha256
-    are exact and DuckDB-verifiable; the decode-kernel outputs (stub seams
-    — no codecs in this container) are dropped from the contract columns."""
+    media table derived from documents (kind round-robin by doc_id) runs
+    through the real Arrow-batched mapInPandas feature pass
+    (operators/multimodal.py). Image rows carry a REAL image header (GIF89a
+    logical-screen descriptor, dims a doc_id formula) welded onto the text
+    bytes JVM-side; the kernel's pure-struct parse_image_header must read
+    the dims back out of the bytes, and the oracle predicts them from the
+    same formula — so width/height are value-checked end-to-end, alongside
+    exact n_bytes/sha256 over the full payload. GIF (not PNG/JPEG) is the
+    oracle fixture because DuckDB 1.0 digests VARCHAR only: dim bytes are
+    picked in the 1-byte-UTF-8 range (low in 16..79, high fixed 0x01, so
+    dims are 272..335) making the payload valid UTF-8 and the sha256
+    mirrorable; the PNG and JPEG branches of the same parser are
+    byte-fixture-tested in tests/test_multimodal.py. Only the pixel-decode
+    feature vector remains a stub seam (no codecs in this container)."""
     from logpipe_spark.operators.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
+
+    def byte_of(col):
+        return F.unhex(F.lpad(F.hex(col.cast("bigint")), 2, "0"))
+
+    low_w = F.lit(16) + F.col("doc_id") % 64
+    low_h = F.lit(16) + (F.col("doc_id") * 7) % 64
+    gif_prefix = F.concat(
+        F.lit(b"GIF89a"),
+        byte_of(low_w),
+        F.lit(b"\x01"),
+        byte_of(low_h),
+        F.lit(b"\x01"),
+    )
+    is_image = F.col("doc_id") % 3 == 0
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.when(
+            is_image, F.concat(gif_prefix, F.encode("text", "utf-8"))
+        ).otherwise(F.encode("text", "utf-8")).alias("payload"),
         F.struct(
             F.lit(32).alias("width"),
             F.lit(24).alias("height"),
@@ -1112,7 +1137,9 @@ def q_multimodal_features(spark, sf_dir):
     # media_repartition (byte-budget) is the right splitter; this fixture's
     # payloads are KB-scale text, so parallelism is the binding constraint.
     media = media.repartition(spark.sparkContext.defaultParallelism)
-    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "width", "height"
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -1159,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,  # r5: star CC, deep fixture
         "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
+        "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
         "bpe_merge_tokens": q_bpe_merge_tokens,  # r5 new: merge-table BPE
         # -- priority 2: veterans last green r1-r3, rotating back through --
         "rollup": q_rollup,
@@ -1206,7 +1234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_unpack": q_pack_unpack,
         "set_ops": q_set_ops,
         "date_rollup": q_date_rollup,
-        "langid_quality": q_langid_quality,
         # NOTE: "template_nsub" intentionally removed -- it duplicated
         # template_project; template_missing_fields covers the other branch
         # -- priority 3 (tail): green r4, implementations unchanged since --
@@ -1220,11 +1247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "doc_fingerprint": q_doc_fingerprint,
         "bpe_tokens": q_bpe_tokens,
-        "multimodal_features": q_multimodal_features,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
         "chunk_documents": q_chunk_documents,
+        "langid_quality": q_langid_quality,
     }
 
 
@@ -1821,13 +1848,26 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY 1
         """,
         "multimodal_features": """
-            SELECT doc_id AS media_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'image'
-                                   WHEN 1 THEN 'audio'
-                                   ELSE 'video' END AS kind,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   sha256(text) AS sha256
-            FROM documents
+            WITH m AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       'GIF89a' || chr(CAST(16 + doc_id % 64 AS INT)) || chr(1)
+                                || chr(CAST(16 + (doc_id * 7) % 64 AS INT)) || chr(1)
+                                || text
+                     ELSE text END AS payload
+              FROM documents
+            )
+            SELECT doc_id AS media_id, kind,
+                   CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+                   sha256(payload) AS sha256,
+                   CASE WHEN kind = 'image'
+                        THEN CAST(256 + 16 + doc_id % 64 AS INT) END AS width,
+                   CASE WHEN kind = 'image'
+                        THEN CAST(256 + 16 + (doc_id * 7) % 64 AS INT) END AS height
+            FROM m
         """,
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),

@@ -54,9 +54,67 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# JPEG start-of-frame markers that carry dimensions (all SOFn except the
+# non-frame C4=DHT, C8=JPG, CC=DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """Pure-struct image header parse — (format, width, height), all None
+    when the payload is not a recognized image. No codec libraries: PNG
+    reads the IHDR chunk, JPEG walks the marker stream to the first SOFn,
+    GIF reads the logical-screen descriptor. This replaces the former
+    fully-stubbed decode metadata path (the *pixel* decode stays a seam —
+    feature vectors at real deployments come from a real codec)."""
+    if b.startswith(PNG_SIG) and len(b) >= 24 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("png", w, h) if 0 < w and 0 < h else (None, None, None)
+    if b.startswith(b"\xff\xd8"):  # JPEG SOI
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:  # desynced marker stream
+                return (None, None, None)
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # standalone RSTn/SOI/EOI
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return (None, None, None)
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h) if 0 < w and 0 < h else (None, None, None)
+            i += 2 + seglen
+        return (None, None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("gif", w, h) if 0 < w and 0 < h else (None, None, None)
+    return (None, None, None)
+
+
+def png_header_bytes(width: int, height: int) -> bytes:
+    """A minimal syntactically-valid PNG prefix (signature + IHDR) for
+    fixtures — parse_image_header reads exactly these fields. CRC is a
+    fixed placeholder: header parsers (ours included, like `file`/ImageMagick
+    ping paths) do not verify chunk CRCs."""
+    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]  # bit depth 8, truecolor, deflate, none, none
+    )
+    return PNG_SIG + (13).to_bytes(4, "big") + b"IHDR" + ihdr + bytes(4)
 
 
 def _decode_image(payload: bytes, meta) -> np.ndarray:
@@ -90,17 +148,22 @@ def _frame_sample_video(payload: bytes, meta, every_n: int = 10) -> list[np.ndar
 def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     """binary payload → fixed-dim feature vector, Arrow-batched.
 
-    One mapInPandas pass: per batch, hash + decode + pool. The output drops
-    the payload (project early — don't carry blobs past the stage that
-    needs them)."""
+    One mapInPandas pass: per batch, hash + header-parse + decode + pool.
+    width/height come from a real PNG/JPEG/GIF header read
+    (``parse_image_header``) and are null for non-images or unrecognized
+    bytes. The output drops the payload (project early — don't carry blobs
+    past the stage that needs them)."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats, hashes, sizes = [], [], []
+            feats, hashes, sizes, widths, heights = [], [], [], [], []
             for payload, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
                 b = bytes(payload)
                 hashes.append(hashlib.sha256(b).hexdigest())
                 sizes.append(len(b))
+                _, w, h = parse_image_header(b) if kind == "image" else (None,) * 3
+                widths.append(w)
+                heights.append(h)
                 if kind == "image":
                     arr = _decode_image(b, meta).mean(axis=(0, 1))
                 elif kind == "audio":
@@ -116,6 +179,8 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": pd.Series(sizes, dtype="int64"),
                     "sha256": hashes,
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
                     "feature": feats,
                 }
             )
@@ -141,6 +206,9 @@ def gen_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     for i in range(n):
         kind = kinds[i % 3]
         payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)), dtype=np.uint8).tobytes()
+        if kind == "image":
+            # a real parseable PNG header in front of the noise body
+            payload = png_header_bytes(32, 24) + payload
         rows.append(
             (
                 i,

@@ -44,3 +44,37 @@ def test_media_repartition_by_bytes(media):
     df = media_repartition(media, target_mb=1)
     assert df.rdd.getNumPartitions() >= 1
     assert df.count() == 60
+
+
+def test_parse_image_header_png_jpeg_gif():
+    from logpipe_spark.operators.multimodal import (
+        parse_image_header,
+        png_header_bytes,
+    )
+
+    assert parse_image_header(png_header_bytes(640, 480)) == ("png", 640, 480)
+    # minimal JPEG: SOI, APP0 shell, SOF0 with dims 123x45, then junk
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (45).to_bytes(2, "big") + (123).to_bytes(2, "big") + bytes(10)
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 123, 45)
+    # progressive SOF2 also carries dims
+    sof2 = jpeg.replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_image_header(sof2) == ("jpeg", 123, 45)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    # non-images and truncations are None, never exceptions
+    for bad in (b"", b"\x89PNG", b"\xff\xd8\xff", b"plain text", bytes(100)):
+        assert parse_image_header(bad) == (None, None, None)
+
+
+def test_extracted_width_height_from_real_headers(media):
+    rows = extract_features(media).collect()
+    for r in rows:
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (32, 24)
+        else:
+            assert r["width"] is None and r["height"] is None
