@@ -466,6 +466,18 @@ def q_bpe_merge_tokens(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Span-level exact-duplication stats (FineWeb/RefinedWeb-style line
+    dedup at n-gram granularity): per doc, how many 8-token span positions
+    carry text that appears in ≥2 distinct documents. No pairwise term —
+    the widest shuffle is keyed by span (operators/dedup.py
+    dup_span_stats)."""
+    from logpipe_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, n=8, min_docs=2)
+
+
 def q_cube(spark, sf_dir):
     """§2.5 cube: all grouping-set combinations of (status, priority)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1188,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
         "bpe_merge_tokens": q_bpe_merge_tokens,  # r5 new: merge-table BPE
+        "dup_spans": q_dup_spans,  # r5 new: span-level duplication stats
         # -- priority 2: veterans last green r1-r3, rotating back through --
         "rollup": q_rollup,
         "parse_extract_pandas": q_parse_extract_pandas,
@@ -1761,6 +1774,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bpe_merge_tokens": _bpe_merge_tokens_oracle(),
+        "dup_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 0) + 1),
+                       i -> array_to_string(t[i:i+7], ' '))) AS s
+              FROM toks
+            ), dup AS (
+              SELECT s FROM (
+                SELECT s, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY s
+              ) WHERE df >= 2
+            ), per AS (
+              SELECT spans.doc_id,
+                     COUNT(*) AS n_spans,
+                     SUM(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_spans
+              FROM spans LEFT JOIN dup ON spans.s = dup.s
+              GROUP BY spans.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
         "cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -347,7 +347,7 @@ def main() -> None:
         "text_quality", "dedup_simhash", "dedup_simhash_pairs", "ann_lsh_topk",
         "tpch_q5", "lead_lag", "hash_split", "corpus_filter", "sequence_pack",
         "quota_sample", "decontaminate", "repetition_stats", "pii_redact",
-        "chunk_documents", "mix_sample",
+        "chunk_documents", "mix_sample", "ann_ivf_topk", "bpe_merge_tokens",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

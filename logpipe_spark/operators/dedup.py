@@ -628,3 +628,78 @@ def connected_components_star(
         .select("node", F.coalesce("v", "node").alias("component"))
     )
     return (out, rounds) if return_rounds else out
+
+
+# ---------------------------------------------------------------------------
+# span-level duplication stats (FineWeb/RefinedWeb-style exact span dedup)
+# ---------------------------------------------------------------------------
+
+def _pos_spans(text: Column, n: int) -> Column:
+    """Positional token n-grams WITH multiplicity (unlike ``_shingles``,
+    which distincts): one span per position, so per-doc counts measure how
+    much of the document is covered by duplicated material."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics: how many of a doc's token
+    n-gram positions carry a span that also appears in ≥ ``min_docs``
+    DISTINCT documents. The span-level analogue of paragraph/line exact
+    dedup in web-corpus pipelines (FineWeb, RefinedWeb): a high
+    ``n_dup_spans / n_spans`` ratio marks boilerplate or cross-document
+    template text that doc-level MinHash misses.
+
+    Returns (doc_id, n_spans, n_dup_spans) — pure counts, exactly
+    SQL-mirrorable; zero rows are kept via the final left join (a short doc
+    has no spans but is still a corpus row).
+
+    100 TB shape: explode → distinct(doc, span) → groupBy(span) document
+    frequency (one shuffle keyed by span; partial agg collapses repeats
+    map-side) → semi-shaped left join of the positional spans against the
+    duplicated-span set on the span key → groupBy(doc) counts (id-keyed).
+    No pairwise term at all — unlike ngram_jaccard_pairs there is no
+    per-shingle quadratic, so no hot-shingle cap is needed; the widest
+    shuffle is O(total token positions). At production scale key the join
+    by a 128-bit span digest instead of the span string to cut shuffle
+    bytes (md5 halves as two longs); kept as raw strings here so the DuckDB
+    oracle is byte-identical with zero collision caveats."""
+    spans = docs.select(
+        F.col(key_col).alias("doc"),
+        F.explode(_pos_spans(F.col(text_col), n)).alias("span"),
+    )
+    dup = (
+        spans.select("doc", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("span", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        spans.join(dup, "span", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"))
+        .join(per.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        )
+    )

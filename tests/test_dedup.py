@@ -153,3 +153,57 @@ def test_simhash_batch_bitexact_vs_scalar():
             assert int(out[i]) == want
 
     prop()
+
+
+class TestDupSpanStats:
+    def test_planted_shared_span(self, spark):
+        from logpipe_spark.operators.dedup import dup_span_stats
+
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " tail1 tail2"),          # 3 span positions
+                (2, "head0 " + shared),                # 2 span positions
+                (3, "all unique words here nothing repeats at all ever"),
+                (4, "short doc"),                      # < 8 tokens: 0 spans
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in dup_span_stats(docs, n=8, min_docs=2).collect()
+        }
+        # only the 8-gram "one..eight" itself is shared (the shifted spans
+        # differ by the tail/head words)
+        assert got[1] == (3, 1)
+        assert got[2] == (2, 1)
+        assert got[3] == (2, 0)
+        assert got[4] == (0, 0)
+
+    def test_multiplicity_counted_per_position(self, spark):
+        from logpipe_spark.operators.dedup import dup_span_stats
+
+        rep = "a b c d e f g h"
+        docs = spark.createDataFrame(
+            [(1, rep + " " + rep), (2, rep)], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+            for r in dup_span_stats(docs, n=8, min_docs=2).collect()
+        }
+        # doc 1 has 9 positions; every span of doc 1 also occurs in doc 2?
+        # no — only the pure repeats of "a..h" (positions 1 and 9) match
+        # doc 2's single span; the 7 straddling spans exist only in doc 1
+        # (multiplicity within one doc does NOT count toward min_docs).
+        assert got[1] == (9, 2)
+        assert got[2] == (1, 1)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from logpipe_spark.operators.dedup import dup_span_stats
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            dup_span_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
