@@ -466,6 +466,25 @@ def q_bpe_merge_tokens(spark, sf_dir):
     )
 
 
+def q_skew_profile(spark, sf_dir):
+    """Key-skew heavy hitters: exact top-20 user_ids by event count with
+    integer ppm share (operators/profile.py — one groupBy shuffle, top-k
+    and the total both derived from the per-key counts)."""
+    from logpipe_spark.operators.profile import skew_profile
+
+    return skew_profile(_t(spark, sf_dir, "events"), "user_id", top_k=20)
+
+
+def q_profile_columns(spark, sf_dir):
+    """Single-pass column profile (rows/nulls/exact distinct/min/max) over
+    three events columns — one Aggregate, stack()-unpivoted."""
+    from logpipe_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "events"), ["event_id", "user_id", "event_type"]
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     """Span-level exact-duplication stats (FineWeb/RefinedWeb-style line
     dedup at n-gram granularity): per doc, how many 8-token span positions
@@ -1201,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
         "bpe_merge_tokens": q_bpe_merge_tokens,  # r5 new: merge-table BPE
         "dup_spans": q_dup_spans,  # r5 new: span-level duplication stats
+        "skew_profile": q_skew_profile,  # r5 new: heavy-hitter profiler
+        "profile_columns": q_profile_columns,  # r5 new: column stats
         # -- priority 2: veterans last green r1-r3, rotating back through --
         "rollup": q_rollup,
         "parse_extract_pandas": q_parse_extract_pandas,
@@ -1774,6 +1795,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bpe_merge_tokens": _bpe_merge_tokens_oracle(),
+        "skew_profile": """
+            WITH c AS (
+              SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY user_id
+            ), t AS (SELECT SUM(n) AS total FROM c),
+            -- order/limit on the NUMERIC key (the outer alias is VARCHAR,
+            -- which would break count-ties lexicographically)
+            top AS (
+              SELECT key, n, total FROM c, t
+              ORDER BY n DESC, key ASC LIMIT 20
+            )
+            SELECT CAST(key AS VARCHAR) AS key,
+                   CAST(n AS BIGINT) AS n,
+                   CAST((n * 1000000) // total AS BIGINT) AS ppm
+            FROM top
+        """,
+        "profile_columns": """
+            SELECT * FROM (
+              SELECT 'event_id' AS "column", COUNT(*) AS n_rows,
+                     CAST(COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS BIGINT) AS n_null,
+                     CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                     CAST(MIN(event_id) AS VARCHAR) AS min_s,
+                     CAST(MAX(event_id) AS VARCHAR) AS max_s
+              FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*),
+                     CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT),
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                     CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+              FROM events
+              UNION ALL
+              SELECT 'event_type', COUNT(*),
+                     CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT),
+                     CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                     CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+              FROM events
+            )
+        """,
         "dup_spans": """
             WITH toks AS (
               SELECT doc_id,
