@@ -493,7 +493,11 @@ def q_dup_spans(spark, sf_dir):
     dup_span_stats)."""
     from logpipe_spark.operators.dedup import dup_span_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # single-file input + per-row explode: spread rows first (real scans
+    # have many splits; the operator itself adds only span-keyed shuffles)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dup_span_stats(docs, n=8, min_docs=2)
 
 

@@ -76,7 +76,8 @@ def test_graded_queries_have_no_scale_killers(spark):
     # growing a BNLJ is a regression.
     # ann_lsh_topk: same O(1)-row broadcasts (the 1-row query vector and
     # the 10-row planted-j table) — corpus side is scanned once, O(n)
-    bnlj_ok = {"ann_cosine_topk", "ann_lsh_topk", "range_join"}
+    # skew_profile: top-k rows crossJoin a BROADCAST 1-row grand total
+    bnlj_ok = {"ann_cosine_topk", "ann_lsh_topk", "range_join", "skew_profile"}
     qs = entry_mod.queries()
     offenders = {}
     for name, fn in qs.items():
