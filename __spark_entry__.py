@@ -501,6 +501,36 @@ def q_dup_spans(spark, sf_dir):
     return dup_span_stats(docs, n=8, min_docs=2)
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Span-level dedup REMOVAL (the rewrite half of the FineWeb recipe —
+    q_dup_spans is the measurement half): every token position covered by
+    an 8-gram that appears in ≥2 distinct docs is dropped, survivors
+    rejoined in order. Linear in token positions, widest shuffle keyed by
+    span (operators/dedup.py remove_dup_spans)."""
+    from logpipe_spark.operators.dedup import remove_dup_spans
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return remove_dup_spans(docs, n=8, min_docs=2)
+
+
+def q_shuffle_corpus(spark, sf_dir):
+    """Deterministic global shuffle order for training delivery: seeded
+    md5 sort key + contiguous-range shard (operators/corpus.py
+    shuffle_corpus). The contract grades the head of the shuffled order —
+    a TakeOrdered top-k, never a global single-task sort."""
+    from logpipe_spark.operators.corpus import shuffle_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        shuffle_corpus(docs, num_shards=8)
+        .orderBy("sort_key", "doc_id")
+        .limit(100)
+        .select("doc_id", "shard", F.col("sort_key").cast("long").alias("sort_key"))
+    )
+
+
 def q_cube(spark, sf_dir):
     """§2.5 cube: all grouping-set combinations of (status, priority)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1206,13 +1236,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 window: this round's changes lead — quota_sample/mix_sample
     (hash-threshold skew prefilter), dedup_components (large-star/small-star
     deep-graph path + deep-chain fixture), sequence_pack (token_count_col
-    parameter), the new ann_ivf_topk and bpe_merge_tokens — followed by the
-    13 veterans last green r1-r3 (rotated back through the window per the
-    policy above). The 15-entry tail holds r4-green entries whose code is
-    UNCHANGED since their r4 verdict (json_extract, set_intersect,
-    embedding_neardup(_lsh), ann_lsh_topk, cube, doc_fingerprint,
-    bpe_tokens, multimodal_features, decontaminate, repetition_stats,
-    pii_redact, chunk_documents, fields_strictly, pivot).
+    parameter), and seven brand-new queries (ann_ivf_topk, bpe_merge_tokens,
+    dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
+    profile_columns) — followed by the 13 veterans last green r1-r3
+    (rotated back through the window per the policy above). The 20-entry
+    tail holds r4-green entries whose code is UNCHANGED since their r4
+    verdict (text_quality, token_stats, pack_unpack, set_ops, date_rollup,
+    json_extract, set_intersect, embedding_neardup(_lsh), ann_lsh_topk,
+    cube, doc_fingerprint, bpe_tokens, multimodal_features, decontaminate,
+    repetition_stats, pii_redact, chunk_documents, fields_strictly, pivot).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1224,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
         "bpe_merge_tokens": q_bpe_merge_tokens,  # r5 new: merge-table BPE
         "dup_spans": q_dup_spans,  # r5 new: span-level duplication stats
+        "remove_dup_spans": q_remove_dup_spans,  # r5 new: span removal rewrite
+        "shuffle_corpus": q_shuffle_corpus,  # r5 new: deterministic shuffle order
         "skew_profile": q_skew_profile,  # r5 new: heavy-hitter profiler
         "profile_columns": q_profile_columns,  # r5 new: column stats
         # -- priority 2: veterans last green r1-r3, rotating back through --
@@ -1862,6 +1896,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
                    CAST(COALESCE(per.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "remove_dup_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS pos,
+                     unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 0) + 1),
+                       i -> array_to_string(t[i:i+7], ' '))) AS s
+              FROM toks
+            ), dup AS (
+              SELECT s FROM (
+                SELECT s, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY s
+              ) WHERE df >= 2
+            ), covered AS (
+              SELECT DISTINCT doc_id, tpos FROM (
+                SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos
+                FROM spans SEMI JOIN dup USING (s)
+              )
+            ), tok_rows AS (
+              SELECT doc_id,
+                     unnest(range(1, len(t) + 1)) AS tpos,
+                     unnest(t) AS tok
+              FROM toks
+            ), kept AS (
+              SELECT tr.doc_id, tr.tpos, tr.tok
+              FROM tok_rows tr ANTI JOIN covered c
+                ON tr.doc_id = c.doc_id AND tr.tpos = c.tpos
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "shuffle_corpus": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(
+                       md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS sort_key
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(sort_key // 144115188075855872 AS INT) AS shard,
+                   sort_key
+            FROM h ORDER BY sort_key, doc_id LIMIT 100
         """,
         "cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders

@@ -348,7 +348,8 @@ def main() -> None:
         "tpch_q5", "lead_lag", "hash_split", "corpus_filter", "sequence_pack",
         "quota_sample", "decontaminate", "repetition_stats", "pii_redact",
         "chunk_documents", "mix_sample", "ann_ivf_topk", "bpe_merge_tokens",
-        "dup_spans", "skew_profile", "profile_columns",
+        "dup_spans", "remove_dup_spans", "shuffle_corpus", "skew_profile",
+        "profile_columns",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -570,3 +570,37 @@ def quota_sample(
         F.least(F.lit(quota).cast("long"), F.col("_n_g")),
         "quota_sample", group_col,
     ).select(*docs.columns)
+
+
+def shuffle_corpus(
+    docs: DataFrame,
+    num_shards: int,
+    seed: str = "shuffle",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle order for pre-training data delivery.
+
+    Training consumes the corpus in an order that must be (a) unbiased with
+    respect to crawl/source order, (b) bit-reproducible run to run and
+    engine to engine, and (c) producible without any single-machine sort.
+    Hash the STABLE key under a seed salt (``base_hash60`` — md5-derived,
+    so any engine reproduces it; never RAND()), then
+
+      ``sort_key = h``                       (position in the shuffled order)
+      ``shard    = h div ceil(2^60 / num_shards)``   (contiguous hash range)
+
+    Reading shards in index order, each sorted by ``sort_key``, IS the full
+    shuffled corpus — so the writer is ``repartitionByRange("shard")`` +
+    ``sortWithinPartitions("sort_key")``: a range-partitioned distributed
+    sort with no global single-task ``orderBy``. Changing ``seed``
+    re-shuffles; under corpus growth with the same seed, new docs splice in
+    while the relative order of existing docs is preserved (each doc's key
+    hash never moves), which keeps resumable data-loader bookkeeping sane.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    step = -(-HASH_SPACE // num_shards)  # ceil; max hash lands in shard n-1
+    h = base_hash60(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    return docs.withColumn("sort_key", h).withColumn(
+        "shard", F.expr(f"sort_key div {step}").cast("int")
+    )

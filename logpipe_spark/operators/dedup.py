@@ -703,3 +703,82 @@ def dup_span_stats(
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document with cross-document duplicated spans REMOVED —
+    the removal half of the FineWeb/RefinedWeb span-dedup recipe whose
+    measurement half is :func:`dup_span_stats`. A token position is dropped
+    when ANY token n-gram covering it also occurs in ≥ ``min_docs`` distinct
+    documents; surviving tokens are rejoined in original order.
+
+    Returns (doc_id, clean_text, n_kept). ``clean_text`` is the
+    tokenizer-normalized reconstruction (lowercased, separator runs
+    collapsed — the same normalization every dedup operator here applies),
+    NOT a substring of the raw text; callers wanting raw-text surgery should
+    map kept positions back themselves.
+
+    100 TB shape: strictly linear in token positions, no pairwise term —
+    (1) positional spans explode, (2) document frequency per span (shuffle
+    keyed by span), (3) duplicated occurrences explode to their ≤ n covered
+    positions and distinct on (doc, position), (4) left-anti join of the
+    token positions against the covered set (shuffle keyed by (doc, pos)),
+    (5) groupBy(doc) ordered reassembly. The widest shuffle is O(total
+    token positions) keyed by span — same bound as dup_span_stats. At
+    production scale key steps 2-4 by a 128-bit span digest to cut shuffle
+    bytes; raw strings kept here so the DuckDB oracle is byte-identical."""
+    spans = docs.select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(_pos_spans(F.col(text_col), n)).alias("pos0", "span"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "span")
+    dup = (
+        spans.select("doc", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("span")
+    )
+    covered = (
+        spans.join(dup, "span")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(_tokens(F.col(text_col))).alias("tpos0", "tok"),
+    ).select("doc", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    rebuilt = (
+        toks.join(covered, ["doc", "tpos"], "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"))
+        .join(rebuilt.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

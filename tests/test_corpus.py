@@ -355,3 +355,42 @@ def test_mix_sample_validates_inputs(spark, docs):
         mix_sample(docs, {"src0": 0.0})
     with pytest.raises(ValueError, match="absent"):
         mix_sample(docs, {"src0": 0.5, "no_such_source": 0.5})
+
+
+def test_shuffle_corpus_deterministic_and_sharded(spark):
+    from logpipe_spark.operators.corpus import HASH_SPACE, shuffle_corpus
+
+    docs2 = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    a = shuffle_corpus(docs2, num_shards=8).collect()
+    b = shuffle_corpus(docs2, num_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    step = -(-HASH_SPACE // 8)
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        assert r["shard"] == r["sort_key"] // step  # contiguous hash ranges
+    # a different seed produces a different order
+    c = {r["doc_id"]: r["sort_key"] for r in
+         shuffle_corpus(docs2, num_shards=8, seed="other").collect()}
+    assert any(c[r["doc_id"]] != r["sort_key"] for r in a)
+
+
+def test_shuffle_corpus_stable_under_growth(spark):
+    """Same seed + more docs: surviving docs keep their sort keys, so the
+    relative order of the old corpus is preserved inside the new one."""
+    from logpipe_spark.operators.corpus import shuffle_corpus
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    ks = {r["doc_id"]: r["sort_key"] for r in shuffle_corpus(small, 4).collect()}
+    kb = {r["doc_id"]: r["sort_key"] for r in shuffle_corpus(big, 4).collect()}
+    assert all(kb[d] == k for d, k in ks.items())
+
+
+def test_shuffle_corpus_validates_num_shards(spark):
+    from logpipe_spark.operators.corpus import shuffle_corpus
+
+    docs2 = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="num_shards"):
+        shuffle_corpus(docs2, num_shards=0)

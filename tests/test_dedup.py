@@ -207,3 +207,58 @@ class TestDupSpanStats:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_dup_spans_hand_values(spark):
+    from logpipe_spark.operators.dedup import remove_dup_spans
+
+    docs2 = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h unique one"),
+            (2, "x a b c d e f g h y"),
+            (3, "totally different words here only"),
+            (4, "short doc"),
+            (5, "a b c d e f g h"),  # nothing but the shared span
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in remove_dup_spans(docs2, n=8, min_docs=2).collect()
+    }
+    # the 8-gram "a b c d e f g h" appears in docs 1, 2, 5 -> every token
+    # position it covers is dropped; everything else survives in order
+    assert got[1] == ("unique one", 2)
+    assert got[2] == ("x y", 2)
+    assert got[3] == ("totally different words here only", 5)
+    assert got[4] == ("short doc", 2)  # shorter than n: no spans, untouched
+    assert got[5] == ("", 0)  # fully duplicated -> empty rewrite
+    assert got[6] == ("", 0)  # null text stays a corpus row
+
+
+def test_remove_dup_spans_consistent_with_stats(spark, docs):
+    """Removal and measurement must agree: a doc loses tokens iff its
+    dup_span_stats count is nonzero, and never gains any."""
+    from logpipe_spark.operators.dedup import dup_span_stats, remove_dup_spans
+
+    stats = {
+        r["doc_id"]: r["n_dup_spans"]
+        for r in dup_span_stats(docs, n=8, min_docs=2).collect()
+    }
+    toks = {
+        r["doc_id"]: r["nt"]
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != F.lit(""))
+            ).alias("nt"),
+        ).collect()
+    }
+    for r in remove_dup_spans(docs, n=8, min_docs=2).collect():
+        d = r["doc_id"]
+        assert r["n_kept"] <= toks[d]
+        if stats[d] == 0:
+            assert r["n_kept"] == toks[d]
+        else:
+            assert r["n_kept"] < toks[d]
