@@ -752,6 +752,71 @@ def q_mix_sample(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature (α=0.5) sampling over languages
+    (operators/corpus.py:temperature_mix) — the XLM-R/mC4 rebalancing
+    rule: keep_g ∝ sqrt(n_g), binding group kept whole. The lang fixture
+    is genuinely skewed (en ≈ 44%), so flattening is non-trivial at every
+    sf. Weights are floor(n^0.5·10⁶+0.5) BIGINTs in both engines (same
+    libm pow), selection is md5-hash order — exact set value-checked."""
+    from logpipe_spark.operators.corpus import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, alpha=0.5, group_col="lang").select(
+        "lang", "doc_id"
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM quality score
+    (operators/textstats.py:unigram_logprob) — the CCNet/RedPajama
+    perplexity-filter analogue. vocab_size=20 of the fixture's 31 token
+    types, so in-vocab and OOV branches both live. ln values are driver
+    literals and the per-doc sum is a left fold over the token array, so
+    the DuckDB mirror (ordinality-ordered list_reduce) is bit-identical
+    — no parallel-sum order drift."""
+    from logpipe_spark.operators.textstats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, vocab_size=20)
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4/RefinedWeb line-level boilerplate dedup
+    (operators/dedup.py:dedup_lines). The fixture has no newlines, so the
+    query plants multi-line docs the same way both engines see: every 5
+    consecutive doc_ids form one synthetic doc — a 'BANNER k' first line
+    shared by every bucket with the same k (mod 3), a blank line, the 5
+    texts as body lines (unique), and a trailing 'END' shared by ALL
+    buckets. BANNER/END lines occur in ≥2 distinct docs → removed
+    everywhere; blank and body lines survive in order."""
+    from logpipe_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = (
+        docs.withColumn("bucket", F.floor(F.col("doc_id") / 5).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.concat(
+                F.lit("BANNER "),
+                (F.col("bucket") % 3).cast("string"),
+                F.lit("\n\n"),
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                ),
+                F.lit("\nEND"),
+            ).alias("text")
+        )
+    )
+    return dedup_lines(synth, min_docs=2, key_col="bucket")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by hashed stable key
     (operators/corpus.py:hash_split) — md5-derived buckets, so the oracle
@@ -1238,16 +1303,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     deep-graph path + deep-chain fixture), sequence_pack (token_count_col
     parameter), and seven brand-new queries (ann_ivf_topk, bpe_merge_tokens,
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
-    profile_columns) — followed by the 13 veterans last green r1-r3
-    (rotated back through the window per the policy above). The 20-entry
-    tail holds r4-green entries whose code is UNCHANGED since their r4
-    verdict (text_quality, token_stats, pack_unpack, set_ops, date_rollup,
-    json_extract, set_intersect, embedding_neardup(_lsh), ann_lsh_topk,
-    cube, doc_fingerprint, bpe_tokens, multimodal_features, decontaminate,
-    repetition_stats, pii_redact, chunk_documents, fields_strictly, pivot).
+    profile_columns, and — late round 5 — temperature_mix,
+    unigram_logprob, dedup_lines) — followed by the 13 veterans last
+    green r1-r3 (rotated back through the window per the policy above).
+    The tail holds r4-green entries whose code is UNCHANGED since their
+    r4 verdict (hash_split, corpus_filter, and ann_cosine_topk dropped
+    out of the window to make room for the three new queries — all three
+    green r4, implementations untouched).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "temperature_mix": q_temperature_mix,  # r5 new: α-sampling
+        "unigram_logprob": q_unigram_logprob,  # r5 new: unigram LM score
+        "dedup_lines": q_dedup_lines,  # r5 new: C4 line-level dedup
         "quota_sample": q_quota_sample,  # r5: hash-threshold skew prefilter
         "mix_sample": q_mix_sample,  # r5: prefilter + Fraction keep-counts
         "dedup_components": q_dedup_components,  # r5: star CC, deep fixture
@@ -2208,6 +2276,113 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.source, r.doc_id FROM ranked r JOIN k ON k.g = r.source
             WHERE r.rn <= k.keep_n
+        """,
+        "temperature_mix": """
+            -- keep_g = min_j floor(n_j * w_g / w_j) with w = floor(n^0.5
+            -- * 1e6 + 0.5): POWER and CPython ** hit the same libm pow,
+            -- and everything after the floor is BIGINT — no float drift
+            WITH c AS (SELECT lang AS g, COUNT(*) AS n FROM documents GROUP BY lang),
+            p AS (
+              SELECT g, n,
+                     CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5) * 1e6 + 0.5)
+                          AS BIGINT) AS w
+              FROM c
+            ),
+            k AS (
+              SELECT pg.g, CAST(MIN((pj.n * pg.w) // pj.w) AS BIGINT) AS keep_n
+              FROM p pg CROSS JOIN p pj GROUP BY pg.g
+            ),
+            ranked AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST('0x' || substr(md5('tmix:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                                ASC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            )
+            SELECT r.lang, r.doc_id FROM ranked r JOIN k ON k.g = r.lang
+            WHERE r.rn <= k.keep_n
+        """,
+        "unigram_logprob": """
+            -- unigram LM over the whole corpus, top-20 vocab; the per-doc
+            -- sum is a position-ordered list_reduce LEFT FOLD, mirroring
+            -- Spark's F.aggregate over the token array (0.0 + x1 == x1,
+            -- so the missing initial element changes nothing); ln() here
+            -- and math.log in the Spark driver are the same libm
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ),
+            tok AS (SELECT unnest(t) AS tok FROM toks),
+            cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+            vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 20),
+            pos AS (
+              SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+              FROM toks
+            ),
+            lp AS (
+              SELECT pos.doc_id, pos.p,
+                     COALESCE(ln(CAST(v.c AS DOUBLE)), 0.0)
+                       - ln(CAST(tot.n AS DOUBLE)) AS lnp,
+                     CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+              FROM pos LEFT JOIN vocab v ON pos.tok = v.tok CROSS JOIN tot
+            ),
+            agg AS (
+              SELECT doc_id,
+                     list_reduce(list(lnp ORDER BY p), (a, b) -> a + b) AS s,
+                     COUNT(*) AS nt,
+                     SUM(oov) AS no
+              FROM lp GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.no, 0) AS BIGINT) AS n_oov,
+                   ROUND(a.s / a.nt, 4) AS avg_logprob
+            FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        """,
+        "dedup_lines": """
+            -- plant multi-line docs exactly as the Spark query does
+            -- (buckets of 5 consecutive doc_ids; shared BANNER k / END
+            -- lines; blank line kept), then the C4 line-dedup rule:
+            -- trimmed non-blank lines in >= 2 distinct docs are removed
+            WITH g AS (
+              SELECT CAST(FLOOR(doc_id / 5.0) AS BIGINT) AS b,
+                     string_agg(text, chr(10) ORDER BY doc_id) AS body
+              FROM documents GROUP BY 1
+            ),
+            synth AS (
+              SELECT b,
+                     'BANNER ' || CAST(b % 3 AS VARCHAR) || chr(10) || chr(10)
+                       || body || chr(10) || 'END' AS text
+              FROM g
+            ),
+            lt AS (
+              SELECT b,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                     unnest(string_split(text, chr(10))) AS raw
+              FROM synth
+            ),
+            dup AS (
+              SELECT line FROM (
+                SELECT DISTINCT b, trim(raw) AS line FROM lt WHERE trim(raw) <> ''
+              ) GROUP BY line HAVING COUNT(*) >= 2
+            ),
+            reb AS (
+              SELECT lt.b,
+                     string_agg(lt.raw, chr(10) ORDER BY lt.pos) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM lt LEFT JOIN dup ON trim(lt.raw) = dup.line
+              WHERE dup.line IS NULL GROUP BY lt.b
+            )
+            SELECT s.b AS doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM synth s LEFT JOIN reb r ON r.b = s.b
         """,
         "chunk_documents": """
             WITH toks AS (

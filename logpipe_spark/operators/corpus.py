@@ -318,8 +318,6 @@ def mix_sample(
     from fractions import Fraction
     from math import lcm
 
-    from pyspark.sql import Window
-
     if not targets:
         raise ValueError("targets must be non-empty")
     for g, f in targets.items():
@@ -328,7 +326,73 @@ def mix_sample(
     fracs = {g: Fraction(str(f)) for g, f in targets.items()}
     denom = lcm(*(fr.denominator for fr in fracs.values()))
     parts = {g: int(fr * denom) for g, fr in fracs.items()}
-    member = F.col(group_col).isin(list(targets))
+    return _mix_core(
+        docs, list(targets), lambda counts: parts, group_col, key_col,
+        salt, window_cap, "mix_sample",
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    groups: list[str] | None = None,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "tmix",
+    window_cap: int = DEFAULT_WINDOW_CAP,
+) -> DataFrame:
+    """Temperature (α) sampling: flatten a skewed group distribution so
+    group g's share is ∝ n_g^α — the multilingual rebalancing rule from
+    XLM-R / mC4 (α < 1 up-weights low-resource groups relative to their
+    raw counts; α = 1 is the natural distribution, α = 0 uniform). Unlike
+    :func:`mix_sample` the targets are DERIVED from the observed counts,
+    so the caller states one number instead of a hand-built mixture.
+
+    No group can be up-sampled beyond its size, so the binding-group rule
+    applies: T = min_g floor(n_g / p_g) with p_g ∝ n_g^α, i.e.
+    keep_g = min_j floor(n_j · w_g / w_j). The float weights n^α are made
+    engine-exact by fixing them at six decimals via
+    ``floor(n^α · 10⁶ + 0.5)`` — both this driver (CPython ``**`` → libm
+    ``pow``) and the SQL oracle (``POWER`` → the same libm) compute the
+    identical double before the floor, after which everything is BIGINT
+    arithmetic with no quota-boundary drift.
+
+    Same 100 TB plan as ``mix_sample``: tiny per-group count collect,
+    hash-threshold skew prefilter, windowed rank over only the keep-sized
+    sliver of each group. ``groups=None`` rebalances every group present."""
+    from math import floor
+
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+
+    def parts_fn(counts: dict[str, int]) -> dict[str, int]:
+        return {g: max(1, floor(n**alpha * 1e6 + 0.5)) for g, n in counts.items()}
+
+    return _mix_core(
+        docs, groups, parts_fn, group_col, key_col, salt, window_cap,
+        "temperature_mix",
+    )
+
+
+def _mix_core(
+    docs: DataFrame,
+    groups: list[str] | None,
+    parts_fn,
+    group_col: str,
+    key_col: str,
+    salt: str,
+    window_cap: int,
+    op_name: str,
+) -> DataFrame:
+    """Shared engine for mixture-shaping samplers (`mix_sample`,
+    `temperature_mix`): per-group integer keep-counts from ``parts_fn``
+    (counts → integer weight parts; floor/min BIGINT arithmetic), then
+    deterministic md5-hash-order selection behind the skew prefilter."""
+    from pyspark.sql import Window
+
+    member = (
+        F.col(group_col).isin(groups) if groups is not None else F.lit(True)
+    )
     h = base_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     stats = {
         r["g"]: (r["n"], r["hmin"])
@@ -339,12 +403,16 @@ def mix_sample(
         .collect()
     }
     counts = {g: n for g, (n, _) in stats.items()}
-    absent = sorted(set(targets) - set(counts))
-    if absent:
-        raise ValueError(f"target groups absent from corpus: {absent}")
+    if groups is not None:
+        absent = sorted(set(groups) - set(counts))
+        if absent:
+            raise ValueError(f"target groups absent from corpus: {absent}")
+    if not counts:
+        raise ValueError(f"{op_name}: no rows in any target group")
+    parts = parts_fn(counts)
     keep = {
-        g: min((counts[j] * parts[g]) // parts[j] for j in targets)
-        for g in targets
+        g: min((counts[j] * parts[g]) // parts[j] for j in parts)
+        for g in parts
     }
     # cutoff floored at the group's min hash so the shortfall guard always
     # sees >= 1 row per group (same airtightness argument as quota_sample)
@@ -366,7 +434,7 @@ def mix_sample(
                 stats[g][1],
             )
         )
-        for g in targets
+        for g in parts
     }
 
     def _bmap(d: dict[str, int]) -> Column:
@@ -383,7 +451,7 @@ def mix_sample(
     )
     return _guarded_rank_filter(
         ranked, "_mrank", "_msurv", _bmap(keep), _bmap(keep),
-        "mix_sample", group_col,
+        op_name, group_col,
     ).select(*docs.columns)
 
 

@@ -782,3 +782,79 @@ def remove_dup_spans(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+def dedup_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Line-level exact dedup — the C4 / RefinedWeb boilerplate recipe:
+    any line (trimmed, case-preserved) that occurs in ≥ ``min_docs``
+    DISTINCT documents is removed from EVERY document; survivors rejoin
+    in original order. This is the coarse sibling of
+    :func:`remove_dup_spans` (cross-document n-gram surgery): lines
+    catch nav bars / cookie banners / license headers wholesale, spans
+    catch in-line template fragments.
+
+    Returns (doc_id, clean_text, n_lines, n_kept) — every input doc keeps
+    a row; a fully-boilerplate doc comes back with ``clean_text = ''``
+    so the caller decides whether to drop it (C4 drops; we don't decide
+    here because the row also carries the evidence).
+
+    100 TB shape: strictly linear, no pairwise term. (1) split + posexplode
+    to (doc, pos, line); blank lines are kept in the doc but never counted
+    or removed. (2) distinct(doc, line) → groupBy(line) document frequency
+    — ONE shuffle keyed by line, partial agg collapses within-doc repeats
+    map-side. (3) left join positions against the ≥min_docs line set (same
+    line-keyed shuffle), (4) groupBy(doc) ordered reassembly (id-keyed).
+    At production scale key steps 2-3 by a 128-bit line digest to cut
+    shuffle bytes; raw strings kept here so the DuckDB oracle is
+    byte-identical with zero collision caveats."""
+    lines = docs.select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos0", "raw"),
+    ).select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        "raw",
+        F.trim(F.col("raw")).alias("line"),
+    )
+    dup = (
+        lines.filter(F.col("line") != "")
+        .select("doc", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("line", F.lit(1).alias("_dup"))
+    )
+    rebuilt = (
+        lines.join(dup, "line", "left")
+        .filter(F.col("_dup").isNull())
+        .groupBy("doc")
+        .agg(
+            F.concat_ws(
+                delim,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                    lambda s: s["raw"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    n_lines = docs.select(
+        F.col(key_col).alias("doc"),
+        F.size(F.split(F.col(text_col), delim)).alias("n_lines"),
+    )
+    return (
+        n_lines.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

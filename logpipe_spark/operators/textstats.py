@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logpipe_spark.operators.dedup import _tokens
 from logpipe_spark.operators.parse import n_fields_col
 
 # tiny per-language marker sets for the n-gram/stopword heuristic
@@ -206,4 +207,89 @@ def doc_quality(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
         lang_id(t).alias("lang_guess"),
         bpe_ish_token_count(t).alias("bpe_tokens"),
         rolling_fingerprint(t).alias("fingerprint"),
+    )
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 1024,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score — the cheap,
+    shuffle-light stand-in for the KenLM perplexity filter of CCNet /
+    RedPajama: train unigram counts on the corpus itself, then score each
+    document by its mean token log-probability. Low (very negative) scores
+    mark gibberish / rare-token soup; implausibly high scores mark
+    degenerate repetition of common tokens. Returns
+    (doc_id, n_tokens, n_oov, avg_logprob).
+
+    LM: p(tok) = count(tok)/N over the WHOLE corpus, restricted to the
+    ``vocab_size`` most frequent tokens (ties broken lexically); any token
+    outside the vocab scores as count 1 (ln 1 − ln N). The score is the
+    arithmetic mean of ln p over the doc's tokens, rounded to 4 decimals.
+
+    Engine-exactness: the ln values are computed ONCE in the driver
+    (CPython ``math.log`` → libm) and embedded as double literals; the
+    per-doc sum is a LEFT FOLD over the token array (``F.aggregate``), so
+    addition order is the array order, not partition order — the SQL
+    oracle mirrors it with an ordinality-ordered ``list_reduce``. The JVM
+    never computes a logarithm, and a parallel double SUM never happens,
+    so the two engines agree bit for bit.
+
+    100 TB shape: pass 1 is one map-combinable shuffle keyed by token
+    (partial counts collapse map-side) plus a top-``vocab_size`` collect —
+    the vocab is a PARAMETER-bounded broadcast (ln-value literal map), not
+    data-sized. Pass 2 is map-only: fold over each row's token array
+    against the broadcast map, zero Exchange. The driver collect is
+    ``vocab_size`` rows, same bounded-collect rule as ``mix_sample``'s
+    group counts."""
+    import math
+
+    toks = _tokens(F.col(text_col))
+    tok_counts = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = tok_counts.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    if not total:
+        raise ValueError("unigram_logprob: corpus has no tokens")
+    top = (
+        tok_counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    log_n = math.log(total)
+    oov_lnp = 0.0 - log_n
+    lnp_map = F.create_map(
+        *[
+            x
+            for r in top
+            for x in (F.lit(r["tok"]), F.lit(math.log(r["c"]) - log_n))
+        ]
+    )
+    lnp = lambda x: F.coalesce(F.try_element_at(lnp_map, x), F.lit(oov_lnp))
+    arr = F.col("_toks")
+    n_tok = F.size(arr)
+    return (
+        docs.select(F.col(key_col).alias("doc_id"), toks.alias("_toks"))
+        .select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tokens"),
+            F.size(
+                F.filter(arr, lambda x: F.try_element_at(lnp_map, x).isNull())
+            )
+            .cast("long")
+            .alias("n_oov"),
+            F.when(
+                n_tok > 0,
+                F.round(
+                    F.aggregate(
+                        arr, F.lit(0.0), lambda acc, x: acc + lnp(x)
+                    )
+                    / n_tok,
+                    4,
+                ),
+            ).alias("avg_logprob"),
+        )
     )

@@ -51,7 +51,10 @@ def main(sfs: list[str]) -> int:
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+        only = {q for q in os.environ.get("LOGPIPE_CHECK_ONLY", "").split(",") if q}
         for name, fn in entry_mod.queries().items():
+            if only and name not in only:
+                continue
             try:
                 got = normalize(fn(spark, d).toPandas())
                 exp = normalize(con.execute(entry_mod.oracle_sql()[name]).fetchdf())

@@ -394,3 +394,59 @@ def test_shuffle_corpus_validates_num_shards(spark):
     docs2 = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="num_shards"):
         shuffle_corpus(docs2, num_shards=0)
+
+def test_temperature_mix_alpha_endpoints_and_flattening(spark, docs):
+    """α=1 is the natural distribution (identity); α=0 is uniform at the
+    smallest group's size; 0<α<1 lands strictly between for the skewed
+    lang fixture. Selection is repartition-invariant."""
+    from logpipe_spark.operators.corpus import temperature_mix
+
+    before = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(before.values())
+    top = max(before, key=before.get)
+    assert before[top] > n_min  # fixture is genuinely skewed
+
+    natural = temperature_mix(docs, alpha=1.0, group_col="lang")
+    assert natural.count() == docs.count()
+
+    uniform = {r["lang"]: r["n"] for r in
+               temperature_mix(docs, alpha=0.0, group_col="lang")
+               .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert uniform == {g: n_min for g in before}
+
+    half = {r["lang"]: r["n"] for r in
+            temperature_mix(docs, alpha=0.5, group_col="lang")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binding group (smallest) kept whole; dominant group strictly
+    # trimmed but still above uniform
+    assert half[min(before, key=before.get)] == n_min
+    assert n_min < half[top] < before[top]
+
+    ids = sorted(r["doc_id"] for r in
+                 temperature_mix(docs, alpha=0.5, group_col="lang")
+                 .select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  temperature_mix(docs.repartition(13), alpha=0.5,
+                                  group_col="lang").select("doc_id").collect())
+    assert ids == ids2
+
+
+def test_temperature_mix_validates_alpha_and_groups(spark, docs):
+    from logpipe_spark.operators.corpus import temperature_mix
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(docs, alpha=1.5)
+    with pytest.raises(ValueError, match="absent"):
+        temperature_mix(docs, alpha=0.5, groups=["lang_that_is_not_there"],
+                        group_col="lang")
+
+
+def test_temperature_mix_groups_subset_drops_others(spark, docs):
+    """Listing groups restricts membership exactly like mix_sample."""
+    from logpipe_spark.operators.corpus import temperature_mix
+
+    got = temperature_mix(docs, alpha=0.5, groups=["en", "fr"],
+                          group_col="lang")
+    langs = {r["lang"] for r in got.select("lang").distinct().collect()}
+    assert langs == {"en", "fr"}

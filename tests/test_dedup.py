@@ -262,3 +262,51 @@ def test_remove_dup_spans_consistent_with_stats(spark, docs):
             assert r["n_kept"] == toks[d]
         else:
             assert r["n_kept"] < toks[d]
+
+def test_dedup_lines_removes_cross_doc_boilerplate_in_order(spark):
+    """C4 line rule: trimmed non-blank lines in >=2 distinct docs vanish
+    from every doc; unique lines survive in original order; blank lines
+    are kept; within-doc repetition alone never triggers removal; a
+    fully-boilerplate doc keeps its row with clean_text=''."""
+    from logpipe_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (0, "COOKIE BANNER\nalpha unique\n\nbeta unique\nEND"),
+        (1, "COOKIE BANNER\ngamma unique\nEND"),
+        # within-doc repeated line, but only this doc has it
+        (2, "delta repeated\ndelta repeated\nepsilon unique"),
+        # fully boilerplate
+        (3, "COOKIE BANNER\nEND"),
+        #   ' END ' trims equal to 'END' -> removed too
+        (4, "zeta unique\n END "),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dedup_lines(docs, min_docs=2).collect()}
+    assert len(got) == 5
+    assert got[0]["clean_text"] == "alpha unique\n\nbeta unique"
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (5, 3)
+    assert got[1]["clean_text"] == "gamma unique"
+    assert got[2]["clean_text"] == "delta repeated\ndelta repeated\nepsilon unique"
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (2, 0)
+    assert got[4]["clean_text"] == "zeta unique"
+
+
+def test_dedup_lines_threshold_and_single_line_docs(spark):
+    """min_docs=3 spares a 2-doc line; docs without the delimiter pass
+    through untouched unless their whole text is shared boilerplate."""
+    from logpipe_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (0, "shared twice\nown line zero"),
+        (1, "shared twice\nown line one"),
+        (2, "solo text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got3 = {r["doc_id"]: r["clean_text"]
+            for r in dedup_lines(docs, min_docs=3).collect()}
+    assert got3[0] == "shared twice\nown line zero"  # df=2 < 3 -> kept
+    got2 = {r["doc_id"]: r["clean_text"]
+            for r in dedup_lines(docs, min_docs=2).collect()}
+    assert got2[0] == "own line zero"
+    assert got2[2] == "solo text"

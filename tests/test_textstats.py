@@ -109,3 +109,55 @@ def test_repetition_stats_zero_shuffle(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    """Score equals the hand-built unigram LM: ln(c/N) for vocab tokens,
+    ln(1/N) for OOV, averaged per doc; counts trained on the whole
+    corpus; vocab cut by (count desc, token asc)."""
+    import math
+
+    from logpipe_spark.operators.textstats import unigram_logprob
+
+    rows = [
+        (0, "a a a b"),
+        (1, "a b c"),
+        (2, "rare rare"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # corpus counts: a=4, b=2, rare=2, c=1; N=9; vocab_size=2 keeps
+    # a(4) and b(2) -- 'rare' loses the tie to b? no: b=2, rare=2 tie ->
+    # lexical asc keeps 'b'; 'rare' and 'c' are OOV (count as 1)
+    n = 9.0
+    lp = {"a": math.log(4) - math.log(n), "b": math.log(2) - math.log(n)}
+    oov = -math.log(n)
+    exp = {
+        0: round((3 * lp["a"] + lp["b"]) / 4, 4),
+        1: round((lp["a"] + lp["b"] + oov) / 3, 4),
+        2: round(2 * oov / 2, 4),
+    }
+    got = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_size=2).collect()}
+    for d, s in exp.items():
+        assert got[d]["avg_logprob"] == pytest.approx(s, abs=0.0), d
+    assert got[0]["n_oov"] == 0
+    assert got[1]["n_oov"] == 1
+    assert got[2]["n_oov"] == 2
+    # empty doc: zero tokens, NULL score, still a row
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_logprob"] is None
+
+
+def test_unigram_logprob_is_scale_free_annotation(spark):
+    """Every input doc keeps exactly one output row and n_tokens matches
+    the tokenizer the rest of the package uses."""
+    from logpipe_spark.operators.textstats import token_count, unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = unigram_logprob(docs, vocab_size=8)
+    assert got.count() == docs.count()
+    joined = got.join(
+        docs.select("doc_id", token_count(F.col("text")).alias("tc")),
+        "doc_id",
+    )
+    assert joined.filter(F.col("n_tokens") != F.col("tc")).count() == 0
+    # vocab_size=8 of 31 token types -> OOV must actually occur
+    assert joined.filter(F.col("n_oov") > 0).count() > 0
