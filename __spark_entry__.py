@@ -626,6 +626,23 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_neardup_keep_best(spark, sf_dir):
+    """Near-dup canonicalization (operators/dedup.py:neardup_keep_best) —
+    the step after pair finding in every production dedup recipe: cluster
+    the Jaccard-0.8 pair graph with large-star/small-star components,
+    then keep exactly ONE doc per cluster, the best by (n_chars DESC,
+    doc_id ASC) — not keep-lowest-id, which can prefer a truncated copy
+    over the long original. One row per corpus doc: (doc_id, component,
+    keep); singletons keep themselves. Oracle: recursive-CTE components
+    over the same pairs + ROW_NUMBER winner election."""
+    from logpipe_spark.operators.dedup import neardup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+    base = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    return neardup_keep_best(base, pairs, quality_col="n_chars")
+
+
 def q_quota_sample(spark, sf_dir):
     """Per-group quota sampling (operators/corpus.py:quota_sample) — cap
     every language at 100 docs, selected by deterministic md5-hash order
@@ -1304,12 +1321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parameter), and seven brand-new queries (ann_ivf_topk, bpe_merge_tokens,
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
-    unigram_logprob, dedup_lines) — followed by the 13 veterans last
-    green r1-r3 (rotated back through the window per the policy above).
-    The tail holds r4-green entries whose code is UNCHANGED since their
-    r4 verdict (hash_split, corpus_filter, and ann_cosine_topk dropped
-    out of the window to make room for the three new queries — all three
-    green r4, implementations untouched).
+    unigram_logprob, dedup_lines, neardup_keep_best) — followed by the
+    13 veterans last green r1-r3 (rotated back through the window per
+    the policy above). The tail holds r4-green entries whose code is
+    UNCHANGED since their r4 verdict (hash_split, corpus_filter,
+    ann_cosine_topk, and lead_lag dropped out of the window to make room
+    for the four new queries — all green r4, implementations untouched).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1319,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,  # r5: hash-threshold skew prefilter
         "mix_sample": q_mix_sample,  # r5: prefilter + Fraction keep-counts
         "dedup_components": q_dedup_components,  # r5: star CC, deep fixture
+        "neardup_keep_best": q_neardup_keep_best,  # r5 new: cluster canonicalize
         "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
@@ -2208,6 +2226,38 @@ def oracle_sql() -> dict[str, str]:
           SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
         )
         SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        """,
+        "neardup_keep_best": _ngram_pairs_cte().replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+        , sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ), cnodes AS (
+          SELECT DISTINCT a AS n FROM sym
+        ), reach(src, dst) AS (
+          SELECT n, n FROM cnodes
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+        ), comp AS (
+          SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        ), lab AS (
+          SELECT d.doc_id,
+                 CAST(length(d.text) AS BIGINT) AS q,
+                 CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ), win AS (
+          SELECT component, doc_id AS keep_id,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY q DESC, doc_id ASC) AS rn
+          FROM lab
+        )
+        SELECT l.doc_id, l.component, l.doc_id = w.keep_id AS keep
+        FROM lab l
+        JOIN (SELECT component, keep_id FROM win WHERE rn = 1) w
+          ON l.component = w.component
         """,
         "quota_sample": """
             WITH ranked AS (

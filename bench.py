@@ -349,7 +349,8 @@ def main() -> None:
         "quota_sample", "decontaminate", "repetition_stats", "pii_redact",
         "chunk_documents", "mix_sample", "ann_ivf_topk", "bpe_merge_tokens",
         "dup_spans", "remove_dup_spans", "shuffle_corpus", "skew_profile",
-        "profile_columns",
+        "profile_columns", "temperature_mix", "unigram_logprob", "dedup_lines",
+        "neardup_keep_best",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -858,3 +858,59 @@ def dedup_lines(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def neardup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    key_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """End-to-end near-dup canonicalization — the step every production
+    dedup recipe (Lee et al. "Deduplicating Training Data", FineWeb,
+    Dolma) runs AFTER candidate pairs are found: cluster the pair graph
+    with connected components, then keep exactly ONE document per
+    cluster — the best by ``(quality_col DESC, key_col ASC)`` — instead
+    of ``dedup_keep_list``'s keep-lowest-id rule, which can throw away a
+    long original in favor of a truncated copy.
+
+    Returns one row per input document: (doc_id, component, keep).
+    Documents in no pair are their own singleton component and keep
+    themselves; callers filter ``keep`` to materialize the deduped
+    corpus, or keep the full annotation for audit.
+
+    Engine-exactness: the winner rule compares ``quality_col`` (an
+    INTEGER quality — chars, tokens, an upstream score scaled to int)
+    and the key, so there is no float drift anywhere; clustering is
+    min-id labeling, already oracle-checked (``dedup_components``).
+
+    100 TB shape: components via large-star/small-star (id-only
+    shuffles, O(log^2 n) alternations — ``connected_components_star``);
+    the winner election is ONE map-combinable groupBy(component) of
+    (component, quality, id) triples — no window, no per-cluster task
+    skew (the agg is a MIN, partial-aggregated map-side even if one
+    cluster holds millions of docs); final annotate is a component-keyed
+    broadcast-or-shuffle join of winners (winner table has one row per
+    component, ≪ corpus)."""
+    comp = connected_components_star(pairs, a_col=a_col, b_col=b_col)
+    base = docs.select(
+        F.col(key_col).cast("long").alias("_id"),
+        F.col(quality_col).cast("long").alias("_q"),
+    )
+    labeled = (
+        base.join(comp, base["_id"] == comp["node"], "left")
+        .select("_id", "_q", F.coalesce("component", "_id").alias("component"))
+    )
+    winners = labeled.groupBy("component").agg(
+        F.min(F.struct((-F.col("_q")).alias("nq"), F.col("_id").alias("k"))).alias("w")
+    ).select("component", F.col("w.k").alias("_keep_id"))
+    return (
+        labeled.join(winners, "component")
+        .select(
+            F.col("_id").alias(key_col),
+            F.col("component").cast("long").alias("component"),
+            (F.col("_id") == F.col("_keep_id")).alias("keep"),
+        )
+    )

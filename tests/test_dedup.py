@@ -310,3 +310,41 @@ def test_dedup_lines_threshold_and_single_line_docs(spark):
             for r in dedup_lines(docs, min_docs=2).collect()}
     assert got2[0] == "own line zero"
     assert got2[2] == "solo text"
+
+
+def test_neardup_keep_best_hand_graph(spark):
+    """Clusters {1,2,3} (chain), {5,6} (tie on quality), singleton 4.
+    Winner = highest quality, then lowest id; singletons keep themselves."""
+    from logpipe_spark.operators.dedup import neardup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 7), (6, 7)],
+        ["doc_id", "n_chars"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r for r in neardup_keep_best(docs, pairs).collect()}
+    assert len(got) == 6
+    assert {d for d, r in got.items() if r["keep"]} == {2, 4, 5}
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"] == 1
+    assert got[4]["component"] == 4 and got[4]["keep"]
+    assert got[5]["component"] == got[6]["component"] == 5
+
+
+def test_neardup_keep_best_empty_pairs_and_repartition(spark):
+    """No pairs -> every doc is a kept singleton; result is partition-
+    layout invariant (pure hash/agg logic, no zipWithIndex anywhere)."""
+    from logpipe_spark.operators.dedup import neardup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, i * 3 % 7) for i in range(20)], ["doc_id", "n_chars"]
+    )
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = neardup_keep_best(docs, empty).collect()
+    assert all(r["keep"] and r["component"] == r["doc_id"] for r in out)
+    assert len(out) == 20
+
+    pairs = spark.createDataFrame([(0, 10), (10, 15)], ["doc_a", "doc_b"])
+    a = sorted(map(tuple, neardup_keep_best(docs, pairs).collect()))
+    b = sorted(map(tuple,
+                   neardup_keep_best(docs.repartition(13), pairs).collect()))
+    assert a == b
