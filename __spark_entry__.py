@@ -643,6 +643,23 @@ def q_neardup_keep_best(spark, sf_dir):
     return neardup_keep_best(base, pairs, quality_col="n_chars")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental (delta) dedup (operators/dedup.py:incremental_dedup) —
+    docs with doc_id % 3 == 0 stand in for the already-accepted corpus
+    (index = their bag-of-words fingerprints); the rest arrive as the new
+    batch and are classified kept / dup_in_batch / dup_in_index. The
+    fixture's planted near-duplicates put every status branch in play.
+    Index side carries 32-char fingerprints only — the prior corpus text
+    is never re-read."""
+    from logpipe_spark.operators.dedup import fingerprint_index, incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = fingerprint_index(prior)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_dedup(batch, idx)
+
+
 def q_quota_sample(spark, sf_dir):
     """Per-group quota sampling (operators/corpus.py:quota_sample) — cap
     every language at 100 docs, selected by deterministic md5-hash order
@@ -937,6 +954,43 @@ def q_tpch_q3(spark, sf_dir):
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
             "revenue_cents",
+        )
+    )
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Storage-layout row (sources/bucketed.py): write orders and
+    lineitem ONCE as same-spec bucketed catalog tables (16 buckets on the
+    order key, one file per bucket), then join AND aggregate on that
+    key with zero repartitioning Exchange anywhere — pay the shuffle at
+    write time, never again (at toy SF Catalyst still broadcasts the
+    small side; at scale both sides SortMergeJoin bucket-locally, which
+    test_bucketed.py asserts mechanically with broadcast disabled).
+    This row value-checks the result against a plain SQL join. Revenue
+    per order in integer cents (FLOOR(price*100) — the engine-portable
+    rule every money query here uses)."""
+    import hashlib
+
+    from logpipe_spark.sources.bucketed import colocated_join, write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/logpipe_bucketed/{tag}"
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    write_bucketed(o, f"b_orders_{tag}", f"{base}/orders", ["orderkey"], 16)
+    write_bucketed(li, f"b_lineitem_{tag}", f"{base}/lineitem", ["orderkey"], 16)
+    j = colocated_join(spark, f"b_orders_{tag}", f"b_lineitem_{tag}", ["orderkey"])
+    return (
+        j.groupBy("orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
         )
     )
 
@@ -1321,12 +1375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parameter), and seven brand-new queries (ann_ivf_topk, bpe_merge_tokens,
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
-    unigram_logprob, dedup_lines, neardup_keep_best) — followed by the
-    13 veterans last green r1-r3 (rotated back through the window per
-    the policy above). The tail holds r4-green entries whose code is
-    UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, and lead_lag dropped out of the window to make room
-    for the four new queries — all green r4, implementations untouched).
+    unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
+    incremental_dedup) — followed by the 13 veterans last green r1-r3
+    (rotated back through the window per the policy above). The tail
+    holds r4-green entries whose code is UNCHANGED since their r4
+    verdict (hash_split, corpus_filter, ann_cosine_topk, tpch_q3,
+    tpch_q5, and lead_lag dropped out of the window to make room for the
+    six new queries — all green r4, implementations untouched).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1337,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,  # r5: prefilter + Fraction keep-counts
         "dedup_components": q_dedup_components,  # r5: star CC, deep fixture
         "neardup_keep_best": q_neardup_keep_best,  # r5 new: cluster canonicalize
+        "bucketed_join": q_bucketed_join,  # r5 new: exchange-free storage layout
+        "incremental_dedup": q_incremental_dedup,  # r5 new: delta-vs-index dedup
         "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
@@ -2149,6 +2206,37 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "dedup_simhash": _simhash_sql(16),
         "dedup_simhash_pairs": _simhash_pairs_sql(3, 16),
+        "incremental_dedup": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         list_filter(string_split(lower(text), ' '),
+                                     x -> x <> ''))), ' ')) AS fingerprint
+              FROM documents
+            ), idx AS (
+              SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0
+            ), batch AS (
+              SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 <> 0
+            ), win AS (
+              SELECT fingerprint, MIN(doc_id) AS w
+              FROM batch GROUP BY fingerprint
+            )
+            SELECT b.doc_id, b.fingerprint,
+                   CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_in_index'
+                        WHEN b.doc_id <> w.w THEN 'dup_in_batch'
+                        ELSE 'kept' END AS status
+            FROM batch b
+            JOIN win w ON b.fingerprint = w.fingerprint
+            LEFT JOIN idx i ON b.fingerprint = i.fingerprint
+        """,
+        "bucketed_join": """
+            SELECT o_orderkey AS orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey
+        """,
         "tpch_q3": """
             SELECT l_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -914,3 +914,72 @@ def neardup_keep_best(
             (F.col("_id") == F.col("_keep_id")).alias("keep"),
         )
     )
+
+
+def fingerprint_index(
+    docs: DataFrame, text_col: str = "text", fp_col: str = "fingerprint"
+) -> DataFrame:
+    """Distinct bag-of-words fingerprints of an accepted corpus — the
+    bootstrap (and the persisted shape) of :func:`incremental_dedup`'s
+    index: one 32-char md5 string column, nothing else."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
+    )
+    return docs.select(fp.alias(fp_col)).distinct()
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental (delta) dedup — the mode a 100 TB corpus actually
+    runs in production: a new crawl batch arrives and must be deduped
+    BOTH within itself AND against the already-accepted corpus, without
+    re-reading that corpus's text. ``index`` is the persisted fingerprint
+    set of everything accepted so far (one ``fp_col`` string column —
+    exactly what this function's keepers produce, so runs chain).
+
+    The fingerprint is :func:`fingerprint_dedup`'s bag-of-words md5
+    (sorted distinct token set), so an index bootstrapped from a full-
+    corpus pass and one built batch-by-batch agree bit-for-bit.
+
+    Returns one row per NEW doc: (key, fingerprint, status) with status
+    'dup_in_index' (fingerprint already accepted in a prior batch),
+    'dup_in_batch' (another doc in THIS batch has the same fingerprint
+    and a lower key — that one is kept), or 'kept'. Callers filter
+    status='kept' to admit docs, and union those fingerprints into the
+    index for the next batch.
+
+    100 TB shape: fingerprints are map-side exprs; within-batch winners
+    are one map-combinable groupBy(fingerprint) MIN over (fp, key) —
+    batch-sized, not corpus-sized; the cross-batch check is a
+    fingerprint-keyed join of the batch against the index where the
+    moving side is the (small) BATCH — the index side streams through
+    the join without ever shuffling its text (it has none: 32-char
+    fingerprints only). Priority rule matches a replay of the combined
+    corpus: an index hit outranks a batch winner."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
+    )
+    base = new_docs.select(F.col(key_col), fp.alias("fingerprint"))
+    seen = (
+        index.select(F.col(fp_col).alias("fingerprint"))
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    winners = base.groupBy("fingerprint").agg(F.min(key_col).alias("_win"))
+    return (
+        base.join(winners, "fingerprint")
+        .join(seen, "fingerprint", "left")
+        .select(
+            key_col,
+            "fingerprint",
+            F.when(F.col("_seen"), F.lit("dup_in_index"))
+            .when(F.col(key_col) != F.col("_win"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

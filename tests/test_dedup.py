@@ -348,3 +348,62 @@ def test_neardup_keep_best_empty_pairs_and_repartition(spark):
     b = sorted(map(tuple,
                    neardup_keep_best(docs.repartition(13), pairs).collect()))
     assert a == b
+
+
+def test_incremental_dedup_statuses_and_chaining(spark):
+    """Batch doc duplicating an indexed fingerprint -> dup_in_index even
+    if it also duplicates a batch-mate; batch-internal dup keeps the
+    lowest key; chaining a second batch over the updated index matches a
+    one-shot pass over the union."""
+    from logpipe_spark.operators.dedup import incremental_dedup
+
+    prior = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "unrelated prior text")],
+        ["doc_id", "text"],
+    )
+    # bootstrap index from the accepted corpus
+    from logpipe_spark.operators.dedup import _tokens
+    idx = prior.select(
+        F.md5(F.array_join(F.array_sort(F.array_distinct(
+            _tokens(F.col("text")))), " ")).alias("fingerprint")
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "gamma beta alpha"),      # bag-of-words dup of indexed 100
+            (2, "alpha beta gamma"),      # same -> also dup_in_index
+            (3, "brand new content one"),
+            (4, "content one brand new"), # batch dup of 3 (reordered)
+            (5, "wholly novel text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in incremental_dedup(batch, idx).collect()}
+    assert got == {1: "dup_in_index", 2: "dup_in_index",
+                   3: "kept", 4: "dup_in_batch", 5: "kept"}
+
+    # chain: admit kept fps, run a second batch against the grown index
+    out1 = incremental_dedup(batch, idx)
+    idx2 = idx.union(
+        out1.filter(F.col("status") == "kept").select("fingerprint")
+    )
+    batch2 = spark.createDataFrame(
+        [(10, "novel text wholly"), (11, "never seen before")],
+        ["doc_id", "text"],
+    )
+    got2 = {r["doc_id"]: r["status"]
+            for r in incremental_dedup(batch2, idx2).collect()}
+    assert got2 == {10: "dup_in_index", 11: "kept"}
+
+
+def test_incremental_dedup_empty_index(spark):
+    """Empty index degrades to plain within-batch fingerprint dedup."""
+    from logpipe_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "d e f")], ["doc_id", "text"]
+    )
+    idx = spark.createDataFrame([], "fingerprint string")
+    got = {r["doc_id"]: r["status"]
+           for r in incremental_dedup(batch, idx).collect()}
+    assert got == {1: "kept", 2: "dup_in_batch", 3: "kept"}
