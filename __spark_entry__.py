@@ -638,7 +638,10 @@ def q_neardup_keep_best(spark, sf_dir):
     from logpipe_spark.operators.dedup import neardup_keep_best
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+    # single-file sf input: spread before the heavy shingle self-join
+    # (a real deployment's scan has many splits)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    pairs = ngram_jaccard_pairs(spread, n=3, threshold=0.8).select("doc_a", "doc_b")
     base = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     return neardup_keep_best(base, pairs, quality_col="n_chars")
 
@@ -658,6 +661,20 @@ def q_incremental_dedup(spark, sf_dir):
     idx = fingerprint_index(prior)
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     return incremental_dedup(batch, idx)
+
+
+def q_quantile_buckets(spark, sf_dir):
+    """Exact value-quantile bucketing (operators/corpus.py:
+    quantile_buckets) — split the corpus into 10 tranches by n_chars,
+    the CCNet head/middle/tail perplexity-bucket recipe generalized to
+    any integer score. Pure integer boundary math over a ONE-shuffle
+    score histogram (no global sort, no window); equal scores always
+    share a bucket. Oracle mirrors the identical ceil-target histogram
+    walk in SQL."""
+    from logpipe_spark.operators.corpus import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_buckets(docs, score_col="n_chars", k=10)
 
 
 def q_quota_sample(spark, sf_dir):
@@ -1376,12 +1393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
-    incremental_dedup) — followed by the 13 veterans last green r1-r3
-    (rotated back through the window per the policy above). The tail
-    holds r4-green entries whose code is UNCHANGED since their r4
-    verdict (hash_split, corpus_filter, ann_cosine_topk, tpch_q3,
-    tpch_q5, and lead_lag dropped out of the window to make room for the
-    six new queries — all green r4, implementations untouched).
+    incremental_dedup, quantile_buckets) — followed by the 13 veterans
+    last green r1-r3 (rotated back through the window per the policy
+    above). The tail holds r4-green entries whose code is UNCHANGED
+    since their r4 verdict (hash_split, corpus_filter, ann_cosine_topk,
+    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
+    the window to make room for the seven new queries — all green r4,
+    implementations untouched).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1394,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,  # r5 new: cluster canonicalize
         "bucketed_join": q_bucketed_join,  # r5 new: exchange-free storage layout
         "incremental_dedup": q_incremental_dedup,  # r5 new: delta-vs-index dedup
+        "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
         "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
@@ -2206,6 +2225,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "dedup_simhash": _simhash_sql(16),
         "dedup_simhash_pairs": _simhash_pairs_sql(3, 16),
+        "quantile_buckets": """
+            WITH hist AS (
+              SELECT n_chars AS s, COUNT(*) AS c FROM documents
+              WHERE n_chars IS NOT NULL GROUP BY n_chars
+            ), tot AS (SELECT SUM(c) AS n FROM hist),
+            cum AS (
+              SELECT s, SUM(c) OVER (ORDER BY s) AS cc FROM hist
+            ), bnd AS (
+              SELECT i, MIN(s) AS b
+              FROM (SELECT unnest(range(1, 10)) AS i), tot, cum
+              WHERE cc >= (n * i + 9) // 10
+              GROUP BY i
+            )
+            SELECT d.doc_id,
+                   CAST(d.n_chars AS BIGINT) AS score,
+                   CAST((SELECT COUNT(*) FROM bnd WHERE d.n_chars > b)
+                        AS INT) AS bucket
+            FROM documents d
+        """,
         "incremental_dedup": """
             WITH fp AS (
               SELECT doc_id,

@@ -350,7 +350,7 @@ def main() -> None:
         "chunk_documents", "mix_sample", "ann_ivf_topk", "bpe_merge_tokens",
         "dup_spans", "remove_dup_spans", "shuffle_corpus", "skew_profile",
         "profile_columns", "temperature_mix", "unigram_logprob", "dedup_lines",
-        "neardup_keep_best",
+        "neardup_keep_best", "incremental_dedup", "quantile_buckets",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -450,3 +450,42 @@ def test_temperature_mix_groups_subset_drops_others(spark, docs):
                           group_col="lang")
     langs = {r["lang"] for r in got.select("lang").distinct().collect()}
     assert langs == {"en", "fr"}
+
+
+def test_quantile_buckets_hand_values_and_ties(spark):
+    """8 docs, k=4 -> boundaries at ceil-cum targets 2,4,6; equal scores
+    always share a bucket; a value swallowing multiple quantile targets
+    leaves the in-between bucket empty."""
+    from logpipe_spark.operators.corpus import quantile_buckets
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([5, 1, 3, 3, 9, 7, 3, 1])],
+        ["doc_id", "n_chars"],
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in quantile_buckets(docs, k=4).collect()}
+    # sorted scores: 1,1,3,3,3,5,7,9 -> boundaries b1=1 (cum2), b2=3
+    # (cum5>=4), b3=5 (cum6). buckets: 1->0, 3->1, 5->2, 7/9->3
+    assert got == {0: 2, 1: 0, 2: 1, 3: 1, 4: 3, 5: 3, 6: 1, 7: 0}
+
+    # all-equal scores: one bucket holds everything
+    same = spark.createDataFrame([(i, 42) for i in range(6)],
+                                 ["doc_id", "n_chars"])
+    vals = {r["bucket"] for r in quantile_buckets(same, k=3).collect()}
+    assert vals == {0}
+
+
+def test_quantile_buckets_null_scores_and_validation(spark):
+    from logpipe_spark.operators.corpus import quantile_buckets
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(0, 1), (1, None), (2, 9), (3, 5), (4, 7)],
+        "doc_id long, n_chars long",
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in quantile_buckets(docs, k=2).collect()}
+    assert got[1] is None
+    assert sorted(v for v in got.values() if v is not None) == [0, 0, 1, 1]
+    with _pytest.raises(ValueError):
+        quantile_buckets(docs, k=1)
