@@ -663,6 +663,26 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(batch, idx)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/corpus.py:corpus_diff) — version
+    audit of an iterating pipeline. Old = docs with doc_id % 7 != 1; new
+    = docs with doc_id % 5 != 0, text amended (' v2') when doc_id % 11
+    == 0 — so added/removed/changed/unchanged are all live at every sf.
+    One full-outer join of key+fingerprint projections; text never
+    shuffles."""
+    from logpipe_spark.operators.corpus import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 1)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def q_quantile_buckets(spark, sf_dir):
     """Exact value-quantile bucketing (operators/corpus.py:
     quantile_buckets) — split the corpus into 10 tranches by n_chars,
@@ -1393,13 +1413,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
-    incremental_dedup, quantile_buckets) — followed by the 13 veterans
-    last green r1-r3 (rotated back through the window per the policy
-    above). The tail holds r4-green entries whose code is UNCHANGED
-    since their r4 verdict (hash_split, corpus_filter, ann_cosine_topk,
-    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
-    the window to make room for the seven new queries — all green r4,
-    implementations untouched).
+    incremental_dedup, quantile_buckets, corpus_diff) — followed by the
+    13 veterans last green r1-r3 (rotated back through the window per
+    the policy above). The tail holds r4-green entries whose code is
+    UNCHANGED since their r4 verdict (hash_split, corpus_filter,
+    ann_cosine_topk, dedup_simhash, dedup_simhash_pairs, tpch_q3,
+    tpch_q5, and lead_lag dropped out of the window to make room for
+    the eight new queries — all green r4, implementations untouched).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1413,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,  # r5 new: exchange-free storage layout
         "incremental_dedup": q_incremental_dedup,  # r5 new: delta-vs-index dedup
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
+        "corpus_diff": q_corpus_diff,  # r5 new: snapshot version diff
         "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
@@ -2225,6 +2246,31 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "dedup_simhash": _simhash_sql(16),
         "dedup_simhash_pairs": _simhash_pairs_sql(3, 16),
+        "corpus_diff": """
+            WITH o AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         list_filter(string_split(lower(text), ' '),
+                                     x -> x <> ''))), ' ')) AS ofp
+              FROM documents WHERE doc_id % 7 <> 1
+            ), n AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         list_filter(string_split(lower(
+                           CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                                ELSE text END), ' '),
+                           x -> x <> ''))), ' ')) AS nfp
+              FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN ofp <> nfp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   ofp AS old_fingerprint,
+                   nfp AS new_fingerprint
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        """,
         "quantile_buckets": """
             WITH hist AS (
               SELECT n_chars AS s, COUNT(*) AS c FROM documents

@@ -17,7 +17,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from logpipe_spark.operators.dedup import _shingles, _tokens, base_hash60
+from logpipe_spark.operators.dedup import (
+    _shingles,
+    _tokens,
+    base_hash60,
+    bow_fingerprint,
+)
 
 
 def split_bucket(key: Column, salt: str = "split", buckets: int = 10000) -> Column:
@@ -742,4 +747,49 @@ def quantile_buckets(
         F.col(key_col),
         s.alias("score"),
         F.when(s.isNotNull(), bucket).alias("bucket"),
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit step of an
+    iterating data pipeline ("what did this cleaning pass actually
+    change?"): per document key, classify the transition as 'added'
+    (key only in new), 'removed' (key only in old), 'changed' (both,
+    content fingerprint differs), or 'unchanged'.
+
+    Content identity is :func:`~logpipe_spark.operators.dedup.
+    bow_fingerprint` (shared with fingerprint_dedup / incremental_dedup,
+    so diff output joins against their artifacts). Returns
+    (key, status, old_fingerprint, new_fingerprint) — one row per key in
+    either version; the absent side's fingerprint is NULL.
+
+    100 TB shape: ONE key-shuffled full-outer join of two key+16-byte-
+    fingerprint projections (text never crosses the wire after the
+    map-side hash); status is a map-side CASE. Counts by status —
+    ``.groupBy("status").count()`` — are the cheap audit summary."""
+    of = old.select(
+        F.col(key_col).alias("_k"),
+        bow_fingerprint(F.col(text_col)).alias("old_fingerprint"),
+    )
+    nf = new.select(
+        F.col(key_col).alias("_k"),
+        bow_fingerprint(F.col(text_col)).alias("new_fingerprint"),
+    )
+    j = of.join(nf, "_k", "full_outer")
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint") != F.col("new_fingerprint"), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_fingerprint",
+        "new_fingerprint",
     )

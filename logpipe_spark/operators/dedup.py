@@ -85,13 +85,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     )
 
 
+def bow_fingerprint(text: Column) -> Column:
+    """Bag-of-words content fingerprint: md5 of the sorted distinct token
+    set — the ONE fingerprint definition shared by fingerprint_dedup,
+    incremental_dedup/fingerprint_index, and corpus_diff, so their
+    outputs are mutually joinable."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens(text))), " "))
+
+
 def fingerprint_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Near-dup groups under a bag-of-words fingerprint: md5 of the sorted
     distinct token set. Catches reorderings/duplicated-word edits that
     exact dedup misses, still one hash-groupBy shuffle."""
-    fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
-    )
+    fp = bow_fingerprint(F.col(text_col))
     return (
         docs.select(F.col(key_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")
@@ -922,9 +928,7 @@ def fingerprint_index(
     """Distinct bag-of-words fingerprints of an accepted corpus — the
     bootstrap (and the persisted shape) of :func:`incremental_dedup`'s
     index: one 32-char md5 string column, nothing else."""
-    fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
-    )
+    fp = bow_fingerprint(F.col(text_col))
     return docs.select(fp.alias(fp_col)).distinct()
 
 
@@ -961,9 +965,7 @@ def incremental_dedup(
     the join without ever shuffling its text (it has none: 32-char
     fingerprints only). Priority rule matches a replay of the combined
     corpus: an index hit outranks a batch winner."""
-    fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
-    )
+    fp = bow_fingerprint(F.col(text_col))
     base = new_docs.select(F.col(key_col), fp.alias("fingerprint"))
     seen = (
         index.select(F.col(fp_col).alias("fingerprint"))

@@ -489,3 +489,29 @@ def test_quantile_buckets_null_scores_and_validation(spark):
     assert sorted(v for v in got.values() if v is not None) == [0, 0, 1, 1]
     with _pytest.raises(ValueError):
         quantile_buckets(docs, k=1)
+
+
+def test_corpus_diff_all_transitions(spark):
+    """added / removed / changed / unchanged all classified; reordering
+    words is 'unchanged' under the bag-of-words fingerprint (that's the
+    shared content-identity rule, same as fingerprint_dedup)."""
+    from logpipe_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "keep me"), (2, "gone soon"),
+         (3, "will change")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(0, "beta alpha"), (1, "keep me"), (3, "has changed"),
+         (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}
+    assert {k: r["status"] for k, r in got.items()} == {
+        0: "unchanged", 1: "unchanged", 2: "removed",
+        3: "changed", 4: "added",
+    }
+    assert got[2]["new_fingerprint"] is None
+    assert got[4]["old_fingerprint"] is None
+    assert got[3]["old_fingerprint"] != got[3]["new_fingerprint"]
