@@ -1417,9 +1417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     13 veterans last green r1-r3 (rotated back through the window per
     the policy above). The tail holds r4-green entries whose code is
     UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, dedup_simhash, dedup_simhash_pairs, tpch_q3,
-    tpch_q5, and lead_lag dropped out of the window to make room for
-    the eight new queries — all green r4, implementations untouched).
+    ann_cosine_topk, minhash_lsh_pairs, dedup_simhash,
+    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
+    the window to make room for the eight new queries — all green r4,
+    implementations untouched).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
