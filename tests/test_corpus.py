@@ -515,3 +515,46 @@ def test_corpus_diff_all_transitions(spark):
     assert got[2]["new_fingerprint"] is None
     assert got[4]["old_fingerprint"] is None
     assert got[3]["old_fingerprint"] != got[3]["new_fingerprint"]
+
+
+def test_quantile_buckets_distinct_scores_property(spark):
+    """With all-distinct scores the bucket sizes are EXACTLY the ceil
+    partition targets ceil(n·i/k) − ceil(n·(i−1)/k) — i.e. every bucket
+    within 1 of n/k — for arbitrary score sets and k (hypothesis)."""
+    from hypothesis import given, settings, strategies as st
+
+    from logpipe_spark.operators.corpus import quantile_buckets
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        scores=st.lists(
+            st.integers(min_value=-10_000, max_value=10_000),
+            min_size=2, max_size=60, unique=True,
+        ),
+        k=st.integers(min_value=2, max_value=7),
+    )
+    def check(scores, k):
+        docs = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(scores)], ["doc_id", "n_chars"]
+        )
+        got = quantile_buckets(docs, k=k).collect()
+        n = len(scores)
+        sizes = {}
+        for r in got:
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        expected = {}
+        for i in range(1, k + 1):
+            lo, hi = -(-n * (i - 1) // k), -(-n * i // k)
+            if hi > lo:
+                expected[i - 1] = hi - lo
+        assert sizes == expected
+        # order-consistency: every doc in bucket b has a smaller score
+        # than every doc in bucket b+1
+        by_bucket = {}
+        for r in got:
+            by_bucket.setdefault(r["bucket"], []).append(r["score"])
+        bs = sorted(by_bucket)
+        for a, b in zip(bs, bs[1:]):
+            assert max(by_bucket[a]) < min(by_bucket[b])
+
+    check()
