@@ -38,3 +38,41 @@ def stream_exact_dedup(
         keyed = keyed.withColumn("_dedup_key", F.md5(F.col(text_col)))
         key_cols = ["_dedup_key"]
     return keyed.dropDuplicatesWithinWatermark(key_cols).drop("_dedup_key")
+
+
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    index: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming half of :func:`~logpipe_spark.operators.dedup.
+    incremental_dedup`: admit only documents whose content fingerprint is
+    (a) not in the STATIC index of everything accepted by prior batch
+    runs and (b) not already seen in-stream within the watermark.
+
+    Two-tier state, mirroring the batch operator's two checks: the prior
+    corpus lives in ``index`` (one fingerprint column — the exact shape
+    ``fingerprint_index`` writes), joined stream-static left_anti, which
+    Spark re-plans per micro-batch (a small index broadcasts; a huge one
+    becomes a shuffled join of the BATCH against it — either way the
+    stream never holds corpus state); within-stream replays are dropped
+    by ``dropDuplicatesWithinWatermark`` on the same fingerprint, so
+    streaming state stays (arrival rate × watermark) × 32 bytes
+    regardless of corpus size. Same late-replay caveat as
+    :func:`stream_exact_dedup`: the periodic batch incremental_dedup
+    pass is the backstop, and its fingerprints are bit-identical
+    (shared ``bow_fingerprint``), so admitting batches grown here into
+    the persisted index is exact."""
+    from logpipe_spark.operators.dedup import bow_fingerprint
+
+    fp = stream_df.withColumn("_fp", bow_fingerprint(F.col(text_col)))
+    seen = index.select(F.col(fp_col).alias("_fp")).distinct()
+    fresh = fp.join(seen, "_fp", "left_anti")
+    return (
+        fresh.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .withColumnRenamed("_fp", fp_col)
+    )

@@ -276,3 +276,75 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     got = sorted(r["text"] for r in spark.read.parquet(str(out / "data")).collect())
     assert got == ["alpha", "beta", "delta", "gamma"]  # each line exactly once
+
+
+def test_stream_incremental_dedup_vs_static_index(spark, tmp_path):
+    """Streaming delta dedup: docs whose fingerprint is in the STATIC
+    accepted-corpus index never reach the sink; in-stream replays
+    (including reordered-word variants — bag-of-words identity) are
+    dropped within the watermark; genuinely new docs pass."""
+    import time as _time
+
+    import pandas as pd
+
+    from logpipe_spark.streaming.dedup import stream_incremental_dedup
+    from logpipe_spark.streaming.stream import TRANSCRIPT_SCHEMA
+
+    def mk(texts, ts):
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(texts),
+                "turn_idx": np.arange(len(texts), dtype="int32"),
+                "role": ["user"] * len(texts),
+                "text": texts,
+                "tool": [""] * len(texts),
+                "ts": pd.to_datetime([ts] * len(texts)).astype("datetime64[us]"),
+            }
+        )
+
+    # static index = fingerprints of the already-accepted corpus
+    from logpipe_spark.operators.dedup import fingerprint_index
+
+    accepted = spark.createDataFrame(
+        [(100, "already accepted doc"), (101, "another prior doc")],
+        ["doc_id", "text"],
+    )
+    idx = fingerprint_index(accepted)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # b0: one index dup (reordered!), one new
+        mk(["accepted already doc", "fresh one"], "2026-01-01 10:00"),
+        # b1: in-stream replay of "fresh one" (reordered), one new
+        mk(["one fresh", "fresh two"], "2026-01-01 10:05"),
+    ]
+    for i, pdf in enumerate(batches):
+        p = src / f"b{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        _time.sleep(0.05)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    admitted = stream_incremental_dedup(stream, idx, watermark="30 minutes")
+    out = tmp_path / "out"
+    q = (
+        admitted.writeStream.outputMode("append")
+        .option("checkpointLocation", str(out / "_ckpt"))
+        .trigger(availableNow=True)
+        .start(str(out / "data"))
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    res = spark.read.parquet(str(out / "data"))
+    got = sorted(r["text"] for r in res.collect())
+    assert got == ["fresh one", "fresh two"]
+    assert "fingerprint" in res.columns  # admitted rows carry their fp
