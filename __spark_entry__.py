@@ -663,6 +663,21 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(batch, idx)
 
 
+def q_split_leak_check(spark, sf_dir):
+    """Cross-split content-leakage audit (operators/corpus.py:
+    split_leak_check): 50/30/20 hash splits of documents, then flag
+    bag-of-words fingerprints spanning >1 split — the fixture's planted
+    duplicate groups make leaks live at every sf. One map-combinable
+    groupBy(fingerprint); output is leaking fingerprints only."""
+    from logpipe_spark.operators.corpus import hash_split, split_leak_check
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, fractions={"train": 0.5, "val": 0.3, "test": 0.2}
+    )
+    return split_leak_check(split)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Corpus snapshot diff (operators/corpus.py:corpus_diff) — version
     audit of an iterating pipeline. Old = docs with doc_id % 7 != 1; new
@@ -1413,14 +1428,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
-    incremental_dedup, quantile_buckets, corpus_diff) — followed by the
-    13 veterans last green r1-r3 (rotated back through the window per
-    the policy above). The tail holds r4-green entries whose code is
-    UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, minhash_lsh_pairs, dedup_simhash,
+    incremental_dedup, quantile_buckets, corpus_diff, split_leak_check)
+    — followed by the 13 veterans last green r1-r3 (rotated back through
+    the window per the policy above). The tail holds r4-green entries
+    whose code is UNCHANGED since their r4 verdict (hash_split,
+    corpus_filter, ann_cosine_topk, minhash_lsh_pairs, dedup_simhash,
     dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
-    the window to make room for the eight new queries — all green r4,
-    implementations untouched).
+    the window to make room for the nine new queries — all green r4,
+    implementations untouched; dedup_minhash sits exactly at position
+    50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1435,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,  # r5 new: delta-vs-index dedup
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
         "corpus_diff": q_corpus_diff,  # r5 new: snapshot version diff
+        "split_leak_check": q_split_leak_check,  # r5 new: cross-split leakage
         "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
@@ -2247,6 +2264,34 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "dedup_simhash": _simhash_sql(16),
         "dedup_simhash_pairs": _simhash_pairs_sql(3, 16),
+        "split_leak_check": """
+            WITH sp AS (
+              SELECT doc_id, text,
+                     CASE
+                       WHEN CAST('0x' || substr(md5('split:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 10000 < 5000 THEN 'train'
+                       WHEN CAST('0x' || substr(md5('split:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 10000 < 8000 THEN 'val'
+                       ELSE 'test'
+                     END AS s
+              FROM documents
+            ), fp AS (
+              SELECT md5(array_to_string(list_sort(list_distinct(
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x <> ''))), ' ')) AS fingerprint,
+                     s
+              FROM sp
+            )
+            SELECT fingerprint,
+                   CAST(COUNT(DISTINCT s) AS BIGINT) AS n_splits,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   array_to_string(list_sort(list_distinct(list(s))), ',')
+                     AS splits
+            FROM fp GROUP BY fingerprint
+            HAVING COUNT(DISTINCT s) > 1
+        """,
         "corpus_diff": """
             WITH o AS (
               SELECT doc_id,

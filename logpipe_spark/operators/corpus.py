@@ -793,3 +793,39 @@ def corpus_diff(
         "old_fingerprint",
         "new_fingerprint",
     )
+
+
+def split_leak_check(
+    docs: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split content-leakage audit — the check every train/val/test
+    split needs and almost nobody runs: :func:`hash_split` assigns by
+    KEY (correctly — stable under corpus edits), but duplicate CONTENT
+    under different keys can land in different splits, leaking training
+    text into evaluation. Returns one row per leaking fingerprint:
+    (fingerprint, n_splits, n_docs, splits) with ``splits`` the sorted
+    comma-joined split names; empty result = no leakage.
+
+    Content identity is the shared ``bow_fingerprint``, so the fix-up
+    joins directly against ``incremental_dedup`` / ``corpus_diff``
+    artifacts (e.g. drop the eval-side copies, keep train's).
+
+    100 TB shape: ONE map-combinable groupBy(fingerprint) over
+    (fingerprint, split) — 16 + ~5 bytes per row on the wire; output is
+    leaking fingerprints only (≈ duplicate groups × leak rate, tiny)."""
+    base = docs.select(
+        bow_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.col(split_col).alias("_s"),
+    )
+    return (
+        base.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("_s").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("_s")), ",").alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -558,3 +558,29 @@ def test_quantile_buckets_distinct_scores_property(spark):
             assert max(by_bucket[a]) < min(by_bucket[b])
 
     check()
+
+
+def test_split_leak_check_finds_cross_split_content(spark):
+    """Duplicate content under different keys in different splits is
+    flagged (with sorted split list); dups inside one split and unique
+    docs are not."""
+    from logpipe_spark.operators.corpus import split_leak_check
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared leak text", "train"),
+            (1, "leak shared text", "test"),     # bag-of-words dup of 0
+            (2, "same split dup", "train"),
+            (3, "same split dup", "train"),      # dup but no leak
+            (4, "unique doc", "val"),
+            (5, "shared leak text", "val"),      # third copy, third split
+        ],
+        ["doc_id", "text", "split"],
+    )
+    got = split_leak_check(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_splits"], r["n_docs"], r["splits"]) == (3, 3, "test,train,val")
+
+    clean = docs.filter(F.col("doc_id").isin([0, 2, 3, 4]))
+    assert split_leak_check(clean).count() == 0
