@@ -361,6 +361,19 @@ def main() -> None:
         force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # the COMPOSED corpus pipeline (plans/corpus_funnel.py): what a user
+    # actually runs end-to-end — stage fusion/barrier behavior that
+    # per-operator timings can't show. Warm once (cold codegen), time the
+    # second pass. eval set = mod-97 docs, as in examples/.
+    from logpipe_spark.plans.corpus_funnel import run_corpus_funnel
+
+    fdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    fev = fdocs.filter(F.col("doc_id") % 97 == 0)
+    run_corpus_funnel(spark, fdocs, eval_docs=fev)  # warmup
+    t0 = time.perf_counter()
+    funnel = run_corpus_funnel(spark, fdocs, eval_docs=fev)
+    timings["corpus_funnel"] = round(time.perf_counter() - t0, 4)
+
     spark.stop()
 
     scaling = {}
@@ -397,6 +410,7 @@ def main() -> None:
         "turns_per_sec": round(turns_per_sec),
         "scaling": scaling,
         "cores": CPUS,
+        "corpus_funnel_counts": funnel,
     }
     # Full per-query + scaling blob: printed first AND persisted to a file.
     # The driver records only the LAST ~2000 chars of stdout; round 4 lost

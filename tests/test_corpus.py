@@ -584,3 +584,22 @@ def test_split_leak_check_finds_cross_split_content(spark):
 
     clean = docs.filter(F.col("doc_id").isin([0, 2, 3, 4]))
     assert split_leak_check(clean).count() == 0
+
+
+def test_corpus_funnel_invariants(spark):
+    """Composed pipeline (plans/corpus_funnel.py): doc counts are
+    non-increasing through the cleaning stages, every stage is present,
+    and packing produces fewer bins than chunks."""
+    from logpipe_spark.plans.corpus_funnel import run_corpus_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    f = run_corpus_funnel(spark, docs.repartition(8), eval_docs=ev)
+    stages = ["input", "quality_gate", "exact_dedup", "neardup_keep_best",
+              "decontaminate", "pii_line_dedup", "temperature_mix"]
+    assert list(f)[:7] == stages
+    counts = [f[s] for s in stages]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert f["input"] > f["temperature_mix"] > 0
+    assert 0 < f["packed_bins"] <= f["chunks"]
+    assert f["shuffled"] == f["temperature_mix"]
