@@ -1047,6 +1047,40 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_tpch_q1(spark, sf_dir):
+    """§2.5 aggregation plan: TPC-H Q1 pricing summary — the canonical
+    wide-aggregate scan (8 aggregates over 2 group keys, everything
+    map-side partial before ONE tiny exchange). Money in integer cents
+    (FLOOR(x*100) per line item BEFORE summing — associative, so the
+    partial aggregation is exact); averages returned as value-checkable
+    (sum_cents, count) pairs rather than engine-rounded floats."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(disc).alias("sum_disc_cents"),
+            F.sum(charge).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """Semi-structured JSON extraction — the log-pipeline staple the
     reference leaves to downstream consumers (its ES output ships raw
@@ -1428,15 +1462,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
-    incremental_dedup, quantile_buckets, corpus_diff, split_leak_check)
-    — followed by the 13 veterans last green r1-r3 (rotated back through
-    the window per the policy above). The tail holds r4-green entries
-    whose code is UNCHANGED since their r4 verdict (hash_split,
-    corpus_filter, ann_cosine_topk, minhash_lsh_pairs, dedup_simhash,
-    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
-    the window to make room for the nine new queries — all green r4,
-    implementations untouched; dedup_minhash sits exactly at position
-    50).
+    incremental_dedup, quantile_buckets, corpus_diff, split_leak_check,
+    tpch_q1) — followed by the 13 veterans last green r1-r3 (rotated
+    back through the window per the policy above). The tail holds
+    r4-green entries whose code is UNCHANGED since their r4 verdict
+    (hash_split, corpus_filter, ann_cosine_topk, dedup_minhash,
+    minhash_lsh_pairs, dedup_simhash, dedup_simhash_pairs, tpch_q3,
+    tpch_q5, and lead_lag dropped out of the window to make room for
+    the ten new queries — all green r4, implementations untouched;
+    top_terms sits exactly at position 50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1452,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
         "corpus_diff": q_corpus_diff,  # r5 new: snapshot version diff
         "split_leak_check": q_split_leak_check,  # r5 new: cross-split leakage
+        "tpch_q1": q_tpch_q1,  # r5 new: canonical wide-aggregate scan
         "sequence_pack": q_sequence_pack,  # r5: token_count_col param
         "ann_ivf_topk": q_ann_ivf_topk,  # r5 new: IVF path, first oracle row
         "multimodal_features": q_multimodal_features,  # r5: PNG/JPEG header parse
@@ -2366,6 +2401,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_cents
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                        * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_charge_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "tpch_q3": """
             SELECT l_orderkey,
