@@ -75,6 +75,7 @@ def fan_out_write(
     shuffle_partitions: int | None = None,
     salt_on: str | None = None,
     salt_buckets: int = 8,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Single-pass dynamic-partitioned fan-out: every routed row lands in
     ``out_dir/sink=<name>/``. Dropped (NULL-sink) rows are filtered here —
@@ -93,7 +94,13 @@ def fan_out_write(
     ``salt_on``: column to derive the salt from. Default None auto-picks:
     ``turn_idx`` when present (the transcript schema's cheap high-card
     column), else a hash over all columns — so the helper works on any
-    DataFrame, not just transcripts (ADVICE r2)."""
+    DataFrame, not just transcripts (ADVICE r2).
+
+    ``max_records_per_file``: upper-bound rows per output file (Spark's
+    per-write knob, not a shuffle) — the write-time half of the
+    small/large-file control; the read-time half is
+    ``operators/compact.py`` for files that came out too SMALL. Set it
+    from target_bytes / avg_row_bytes; 0/None = no cap."""
     parts = [sink_col] + (extra_partition_cols or [])
     df = routed_df.filter(F.col(sink_col).isNotNull())
     if shuffle_partitions:
@@ -105,7 +112,10 @@ def fan_out_write(
         )
         salt = F.pmod(salt_src, F.lit(salt_buckets))
         df = df.repartition(shuffle_partitions, F.col(sink_col), salt)
-    df.write.mode(mode).partitionBy(*parts).parquet(out_dir)
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*parts).parquet(out_dir)
 
 
 def file_lineage_rows(data_dir: str, sink_col: str = "sink") -> list[tuple]:

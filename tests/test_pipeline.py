@@ -208,3 +208,31 @@ def test_source_file_rows_names_unreadable_path():
         f.write("plain text\n")
     with pytest.raises(ValueError, match="not_a_parquet_sidecar"):
         source_file_rows([bad])
+
+
+def test_fan_out_write_max_records_per_file(spark, tmp_path):
+    """maxRecordsPerFile bounds rows per output file at write time (the
+    write-time half of file-size control; compact.py is the read-time
+    half for files that came out too small)."""
+    import glob
+
+    from logpipe_spark.operators.sinks import fan_out_write
+
+    df = spark.range(0, 1000).select(
+        F.lit("sink_a").alias("sink"),
+        F.col("id").alias("turn_idx"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    capped = str(tmp_path / "capped")
+    fan_out_write(df, capped, shuffle_partitions=2, salt_buckets=1,
+                  max_records_per_file=100)
+    files = glob.glob(f"{capped}/sink=sink_a/*.parquet")
+    assert len(files) >= 10  # 1000 rows / 100-row cap
+    got = spark.read.parquet(capped)
+    assert got.count() == 1000
+    import pyarrow.parquet as pq
+    assert max(pq.ParquetFile(f).metadata.num_rows for f in files) <= 100
+
+    uncapped = str(tmp_path / "uncapped")
+    fan_out_write(df, uncapped, shuffle_partitions=2, salt_buckets=1)
+    assert len(glob.glob(f"{uncapped}/sink=sink_a/*.parquet")) < 10
