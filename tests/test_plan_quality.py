@@ -108,3 +108,50 @@ def test_flagship_chain_zero_fact_shuffles(spark, transcripts_df, dim_df, rules)
     # the fact table itself never shuffles (parse/enrich/route are narrow)
     shuffles = re.findall(r"Exchange (?:hash|range|Single)", plan)
     assert shuffles == [], f"fact-side shuffles in flagship chain: {shuffles}"
+
+
+def test_aqe_skew_join_engages_on_planted_skew(spark):
+    """The session's AQE skew-join config is not decorative: plant a join
+    where one key holds 90% of a 200k-row fact side (broadcast disabled,
+    thresholds scaled to test data), force the SAME QueryExecution, and
+    assert the finalized adaptive plan split the skewed partition
+    (skew=true marker). This is the runtime second line of defense
+    behind explicit salting (repartition_salted)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit("d").alias("v")
+        )
+        j = big.join(dim, "k")
+        qe = j._jdf.queryExecution()
+        qe.toRdd().count()  # force THIS QueryExecution's adaptive plan
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
