@@ -712,6 +712,24 @@ def q_quantile_buckets(spark, sf_dir):
     return quantile_buckets(docs, score_col="n_chars", k=10)
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup dedup (operators/dedup.py:
+    incremental_neardup) — new-batch docs (doc_id % 3 != 0) classified
+    against the persisted minhash_band_index of the accepted corpus
+    (doc_id % 3 == 0) under the FineWeb band-collision rule; no corpus
+    text is touched. Statuses neardup_index / neardup_batch / kept all
+    live via the fixture's planted near-duplicates; oracle mirrors the
+    banded signature construction and both groupBys in SQL."""
+    from logpipe_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = minhash_band_index(docs.filter(F.col("doc_id") % 3 == 0))
+    return incremental_neardup(docs.filter(F.col("doc_id") % 3 != 0), idx)
+
+
 def q_quota_sample(spark, sf_dir):
     """Per-group quota sampling (operators/corpus.py:quota_sample) — cap
     every language at 100 docs, selected by deterministic md5-hash order
@@ -1462,15 +1480,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
-    incremental_dedup, quantile_buckets, corpus_diff, split_leak_check,
-    tpch_q1) — followed by the 13 veterans last green r1-r3 (rotated
-    back through the window per the policy above). The tail holds
-    r4-green entries whose code is UNCHANGED since their r4 verdict
-    (hash_split, corpus_filter, ann_cosine_topk, dedup_minhash,
-    minhash_lsh_pairs, dedup_simhash, dedup_simhash_pairs, tpch_q3,
-    tpch_q5, and lead_lag dropped out of the window to make room for
-    the ten new queries — all green r4, implementations untouched;
-    top_terms sits exactly at position 50).
+    incremental_dedup, incremental_neardup, quantile_buckets,
+    corpus_diff, split_leak_check, tpch_q1; dedup_fingerprint and
+    minhash_lsh_pairs moved UP because their code was refactored this
+    round — shared bow_fingerprint, extracted _band_rows — and changed
+    code re-verifies in-window) — followed by the 13 veterans last
+    green r1-r3 (rotated back through the window per the policy above).
+    The tail holds r4-green entries whose code is UNCHANGED since their
+    r4 verdict (hash_split, corpus_filter, ann_cosine_topk,
+    dedup_keep_list, top_terms, dedup_minhash, dedup_simhash,
+    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
+    the window — all green r4, implementations untouched;
+    dedup_ngram_jaccard sits exactly at position 50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1483,6 +1504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep_best": q_neardup_keep_best,  # r5 new: cluster canonicalize
         "bucketed_join": q_bucketed_join,  # r5 new: exchange-free storage layout
         "incremental_dedup": q_incremental_dedup,  # r5 new: delta-vs-index dedup
+        "incremental_neardup": q_incremental_neardup,  # r5 new: delta LSH dedup
+        "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
         "corpus_diff": q_corpus_diff,  # r5 new: snapshot version diff
         "split_leak_check": q_split_leak_check,  # r5 new: cross-split leakage
@@ -1523,12 +1547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_agg": q_windowed_agg,
         "doc_route": q_doc_route,
         "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_keep_list": q_dedup_keep_list,
         "top_terms": q_top_terms,
         "dedup_minhash": q_dedup_minhash,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "tpch_q3": q_tpch_q3,
@@ -1668,6 +1690,45 @@ def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
                         i -> sa[i] = sb[i])) AS DOUBLE) / {num_hashes}.0
                    AS est_jaccard
         FROM cand
+        """
+    )
+
+
+def _incremental_neardup_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    return (
+        _minhash_sig_cte(num_hashes)
+        + f"""
+        , banded AS (
+          SELECT sig.doc_id, b,
+                 sig[b * {rows} + 1 : b * {rows} + {rows}] AS bandkey
+          FROM sig JOIN sigagg USING (doc_id),
+               (SELECT unnest(range(0, {bands})) AS b)
+        ), idx AS (
+          SELECT b, bandkey, doc_id AS old FROM banded WHERE doc_id % 3 = 0
+        ), bt AS (
+          SELECT doc_id, b, bandkey FROM banded WHERE doc_id % 3 <> 0
+        ), hits AS (
+          SELECT bt.doc_id, COUNT(DISTINCT idx.old) AS n_index_partners
+          FROM bt JOIN idx ON bt.b = idx.b AND bt.bandkey = idx.bandkey
+          GROUP BY bt.doc_id
+        ), mins AS (
+          SELECT b, bandkey, MIN(doc_id) AS m FROM bt GROUP BY b, bandkey
+        ), bd AS (
+          SELECT DISTINCT bt.doc_id
+          FROM bt JOIN mins ON bt.b = mins.b AND bt.bandkey = mins.bandkey
+          WHERE bt.doc_id <> mins.m
+        )
+        SELECT d.doc_id,
+               CASE WHEN h.n_index_partners > 0 THEN 'neardup_index'
+                    WHEN bd.doc_id IS NOT NULL THEN 'neardup_batch'
+                    ELSE 'kept' END AS status,
+               CAST(COALESCE(h.n_index_partners, 0) AS BIGINT)
+                 AS n_index_partners
+        FROM documents d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        LEFT JOIN bd ON d.doc_id = bd.doc_id
+        WHERE d.doc_id % 3 <> 0
         """
     )
 
@@ -2297,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
+        "incremental_neardup": _incremental_neardup_sql(32, 8),
         "dedup_simhash": _simhash_sql(16),
         "dedup_simhash_pairs": _simhash_pairs_sql(3, 16),
         "split_leak_check": """

@@ -351,7 +351,7 @@ def main() -> None:
         "dup_spans", "remove_dup_spans", "shuffle_corpus", "skew_profile",
         "profile_columns", "temperature_mix", "unigram_logprob", "dedup_lines",
         "neardup_keep_best", "incremental_dedup", "quantile_buckets",
-        "corpus_diff", "split_leak_check", "tpch_q1",
+        "corpus_diff", "split_leak_check", "tpch_q1", "incremental_neardup",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -263,6 +263,37 @@ def minhash_digest(sig: Column) -> Column:
     return F.md5(F.concat_ws(",", F.transform(sig, lambda x: x.cast("string"))))
 
 
+def _band_rows(
+    sigs: DataFrame, num_hashes: int, bands: int, key_col: str
+) -> DataFrame:
+    """(key, band, bucket) rows from a signature table: bucket = the raw
+    comma-joined row-slice of the signature (equality on it IS slice
+    equality — zero collision risk, SQL-mirrorable)."""
+    rows = num_hashes // bands
+    return sigs.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows + r + 1).cast(
+                                    "string"
+                                )
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -296,28 +327,7 @@ def minhash_lsh_pairs(
     # every signature bands× through two exchanges; they re-attach below,
     # once per surviving distinct pair (same shape as
     # similarity.neardup_lsh_multiprobe)
-    banded = sigs.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * rows + r + 1).cast(
-                                    "string"
-                                )
-                                for r in range(rows)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(key_col, "bb.band", "bb.bucket")
+    banded = _band_rows(sigs, num_hashes, bands, key_col)
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -983,5 +993,91 @@ def incremental_dedup(
             .when(F.col(key_col) != F.col("_win"), F.lit("dup_in_batch"))
             .otherwise(F.lit("kept"))
             .alias("status"),
+        )
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """The persisted LSH index of an accepted corpus: (key, band, bucket)
+    rows — exactly the table :func:`incremental_neardup` joins new
+    batches against, and exactly what the banded pair join uses
+    internally, so a batch admitted against this index collides with the
+    same partners a full-corpus :func:`minhash_lsh_pairs` run would
+    find. ~44 bytes × bands per doc; the corpus text stays cold."""
+    docs = docs.filter(F.size(_tokens(F.col(text_col))) >= n)
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, key_col)
+    return _band_rows(sigs, num_hashes, bands, key_col)
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — :func:`incremental_dedup`'s sibling
+    for the fuzzy tier: classify every new-batch document against the
+    persisted :func:`minhash_band_index` of the accepted corpus using
+    the FineWeb band-collision rule (any shared (band, bucket) ⇒
+    near-duplicate; no verification pass, matching
+    :func:`minhash_lsh_pairs`'s candidate semantics).
+
+    Returns one row per NEW doc: (key, status, n_index_partners) with
+    status 'neardup_index' (collides with ≥1 accepted doc — counted
+    distinct in n_index_partners), 'neardup_batch' (no index hit, but
+    shares a bucket with a LOWER-keyed batch doc — the star keep-first
+    rule, same over-keep/never-over-drop trade as
+    :func:`dedup_keep_list`), or 'kept'. Docs with < n tokens have no
+    shingles to be similar BY and are 'kept' with 0 partners (same
+    short-doc guard as the pair path). Callers admit 'kept' docs and
+    append ``minhash_band_index(kept)`` to the index — chaining batches
+    reproduces a replay's bucket occupancy.
+
+    100 TB shape: the batch's (band, bucket) rows join the index on a
+    uniform-by-construction key (no skew); what shuffles is bands× the
+    BATCH plus the index's ~44-byte rows — never any text; both
+    classifications are map-combinable groupBys of the batch."""
+    batch = minhash_band_index(
+        new_docs, num_hashes, bands, n, text_col, key_col
+    )
+    idx = index.select(
+        F.col(key_col).alias("_old"), "band", "bucket"
+    ).distinct()
+    hits = (
+        batch.join(idx, ["band", "bucket"])
+        .groupBy(key_col)
+        .agg(F.countDistinct("_old").alias("n_index_partners"))
+    )
+    mins = batch.groupBy("band", "bucket").agg(F.min(key_col).alias("_min"))
+    batch_dup = (
+        batch.join(mins, ["band", "bucket"])
+        .filter(F.col(key_col) != F.col("_min"))
+        .select(key_col)
+        .distinct()
+        .withColumn("_bd", F.lit(True))
+    )
+    return (
+        new_docs.select(key_col)
+        .join(hits, key_col, "left")
+        .join(batch_dup, key_col, "left")
+        .select(
+            key_col,
+            F.when(F.col("n_index_partners") > 0, F.lit("neardup_index"))
+            .when(F.col("_bd"), F.lit("neardup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("n_index_partners", F.lit(0)).cast("long").alias(
+                "n_index_partners"
+            ),
         )
     )

@@ -407,3 +407,63 @@ def test_incremental_dedup_empty_index(spark):
     got = {r["doc_id"]: r["status"]
            for r in incremental_dedup(batch, idx).collect()}
     assert got == {1: "kept", 2: "dup_in_batch", 3: "kept"}
+
+
+def test_incremental_neardup_statuses_and_chain_parity(spark, docs):
+    """Index collisions outrank batch collisions; short docs are kept;
+    chaining (admit batch-1 keeps into the index, run batch 2) flags the
+    same docs a full-corpus banded pair run pairs up."""
+    from logpipe_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    prior = docs.filter(F.col("doc_id").isin([0, 3]))      # corpus: 0, 3
+    batch = docs.filter(~F.col("doc_id").isin([0, 3]))     # 1,2,4,5,6,7
+    idx = minhash_band_index(prior)
+    got = {r["doc_id"]: r for r in incremental_neardup(batch, idx).collect()}
+    assert len(got) == 6
+
+    # full-corpus candidate pairs define the expected replay semantics
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(docs).collect()}
+    for d in got:
+        partners_in_index = {a for (a, b) in pairs if b == d and a in (0, 3)} | {
+            b for (a, b) in pairs if a == d and b in (0, 3)
+        }
+        if partners_in_index:
+            assert got[d]["status"] == "neardup_index"
+            assert got[d]["n_index_partners"] == len(partners_in_index)
+    # 1 and 2 are near-dups of 0 (exact + one-word edit) -> index hits
+    assert got[1]["status"] == "neardup_index"
+    assert got[2]["status"] == "neardup_index"
+    # 6/7 duplicate each other but nothing in the index -> star rule
+    assert got[6]["status"] == "kept"
+    assert got[7]["status"] == "neardup_batch"
+    assert got[4]["status"] == "kept"
+
+    # chain: admit kept docs, then a replay of doc 6's text must hit index
+    kept = batch.join(
+        spark.createDataFrame(
+            [(d,) for d, r in got.items() if r["status"] == "kept"], ["doc_id"]
+        ),
+        "doc_id",
+    )
+    idx2 = idx.union(minhash_band_index(kept))
+    b2 = spark.createDataFrame([(50, "word " * 20)], ["doc_id", "text"])
+    got2 = incremental_neardup(b2, idx2).collect()[0]
+    assert got2["status"] == "neardup_index"
+
+
+def test_incremental_neardup_short_docs_kept(spark):
+    from logpipe_spark.operators.dedup import incremental_neardup
+
+    idx = spark.createDataFrame([], "doc_id long, band int, bucket string")
+    batch = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in incremental_neardup(batch, idx).collect()}
+    assert got == {1: "kept", 2: "kept", 3: "kept"}
