@@ -725,7 +725,12 @@ def q_incremental_neardup(spark, sf_dir):
         minhash_band_index,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # single-file sf input: spread before the per-row signature fold
+    # (md5 per shingle — the heaviest map work in the repo; one split
+    # would serialize it on one core. Fourth occurrence of this trap.)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     idx = minhash_band_index(docs.filter(F.col("doc_id") % 3 == 0))
     return incremental_neardup(docs.filter(F.col("doc_id") % 3 != 0), idx)
 
