@@ -698,6 +698,23 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance scores (operators/textstats.py:dsir_scores) —
+    hashed unigram+bigram likelihood ratio of every document under the
+    target model (docs with doc_id % 13 == 0 stand in for the target
+    domain) vs the raw corpus model, 256 buckets, add-one smoothing.
+    All logarithms computed once driver-side (libm == DuckDB ln); the
+    per-doc sum is an ordered fold, so values match bit for bit.
+    Single-file input spread before the gram explode."""
+    from logpipe_spark.operators.textstats import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    return dsir_scores(docs, target, buckets=256)
+
+
 def q_quantile_buckets(spark, sf_dir):
     """Exact value-quantile bucketing (operators/corpus.py:
     quantile_buckets) — split the corpus into 10 tranches by n_chars,
@@ -1485,18 +1502,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
-    incremental_dedup, incremental_neardup, quantile_buckets,
-    corpus_diff, split_leak_check, tpch_q1; dedup_fingerprint and
-    minhash_lsh_pairs moved UP because their code was refactored this
-    round — shared bow_fingerprint, extracted _band_rows — and changed
-    code re-verifies in-window) — followed by the 13 veterans last
-    green r1-r3 (rotated back through the window per the policy above).
-    The tail holds r4-green entries whose code is UNCHANGED since their
-    r4 verdict (hash_split, corpus_filter, ann_cosine_topk,
-    dedup_keep_list, top_terms, dedup_minhash, dedup_simhash,
-    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
-    the window — all green r4, implementations untouched;
-    dedup_ngram_jaccard sits exactly at position 50).
+    incremental_dedup, incremental_neardup, dsir_scores,
+    quantile_buckets, corpus_diff, split_leak_check, tpch_q1;
+    dedup_fingerprint and minhash_lsh_pairs moved UP because their code
+    was refactored this round — shared bow_fingerprint, extracted
+    _band_rows — and changed code re-verifies in-window) — followed by
+    the 13 veterans last green r1-r3 (rotated back through the window
+    per the policy above). The tail holds r4-green entries whose code
+    is UNCHANGED since their r4 verdict (hash_split, corpus_filter,
+    ann_cosine_topk, dedup_ngram_jaccard, dedup_keep_list, top_terms,
+    dedup_minhash, dedup_simhash, dedup_simhash_pairs, tpch_q3,
+    tpch_q5, and lead_lag dropped out of the window — all green r4,
+    implementations untouched; dedup_exact sits exactly at position
+    50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1510,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,  # r5 new: exchange-free storage layout
         "incremental_dedup": q_incremental_dedup,  # r5 new: delta-vs-index dedup
         "incremental_neardup": q_incremental_neardup,  # r5 new: delta LSH dedup
+        "dsir_scores": q_dsir_scores,  # r5 new: importance-resampling scores
         "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
@@ -2364,6 +2383,57 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "incremental_neardup": _incremental_neardup_sql(32, 8),
+        "dsir_scores": """
+            -- hashed unigram+bigram DSIR log-ratio; ln() == driver libm;
+            -- per-doc sum is a position-ordered list_reduce LEFT FOLD
+            -- (0.0 + v1 == v1, so the missing init changes nothing)
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+            ), gr AS (
+              SELECT doc_id,
+                     t || CASE WHEN len(t) >= 2
+                               THEN list_transform(range(1, len(t)),
+                                      i -> array_to_string(t[i:i+1], ' '))
+                               ELSE [] END AS gs
+              FROM toks
+            ), pos AS (
+              SELECT doc_id, unnest(gs) AS g,
+                     generate_subscripts(gs, 1) AS p
+              FROM gr
+            ), bk AS (
+              SELECT doc_id, p,
+                     CAST('0x' || substr(md5('dsir:' || g), 1, 15) AS BIGINT)
+                       % 256 AS b
+              FROM pos
+            ), tc AS (
+              SELECT b, COUNT(*) AS c FROM bk WHERE doc_id % 13 = 0 GROUP BY b
+            ), rc AS (
+              SELECT b, COUNT(*) AS c FROM bk GROUP BY b
+            ), tt AS (
+              SELECT ln(CAST(COALESCE(SUM(c), 0) + 256 AS DOUBLE)) AS lt FROM tc
+            ), rt AS (
+              SELECT ln(CAST(SUM(c) + 256 AS DOUBLE)) AS lr FROM rc
+            ), term AS (
+              SELECT bk.doc_id, bk.p,
+                     (ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)) - tt.lt)
+                     - (ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE)) - rt.lr) AS v
+              FROM bk
+              LEFT JOIN tc ON bk.b = tc.b
+              LEFT JOIN rc ON bk.b = rc.b
+              CROSS JOIN tt CROSS JOIN rt
+            ), agg AS (
+              SELECT doc_id,
+                     list_reduce(list(v ORDER BY p), (a, b) -> a + b) AS s,
+                     COUNT(*) AS n
+              FROM term GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_grams,
+                   COALESCE(ROUND(a.s, 4), 0.0) AS dsir_score
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+        """,
         "dedup_simhash": _simhash_sql(16),
         "dedup_simhash_pairs": _simhash_pairs_sql(3, 16),
         "split_leak_check": """

@@ -293,3 +293,104 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+#: dsir_scores ships the per-bucket log-ratios as a literal map; above
+#: this many buckets the expression tree gets unwieldy — raise B only
+#: with a broadcast-join variant (and give up the ordered-fold exactness).
+MAX_DSIR_BUCKETS = 4096
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 1024,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of its hashed n-gram features under a
+    TARGET-domain model vs the RAW corpus model — the principled way to
+    up-select "looks like my target distribution" data without training
+    a classifier. High score = target-like; callers threshold or sample
+    ∝ exp(score) downstream.
+
+    Features are word unigrams + bigrams WITH multiplicity, hashed into
+    ``buckets`` buckets (md5-derived — engine-portable); each model is
+    add-one-smoothed bucket frequencies, p(b) = (c_b + 1) / (N + B).
+    Returns (key, n_grams, dsir_score) with score = Σ_grams
+    ln(p_target(bucket)/p_raw(bucket)), rounded to 4 decimals.
+
+    Engine-exactness (same contract as :func:`unigram_logprob`): the two
+    bucket-count tables collect to the driver (≤ ``buckets`` rows each —
+    B is a model-capacity PARAMETER, not data-sized), every logarithm is
+    computed once in CPython (libm, == DuckDB's ln), shipped as double
+    literals in one map, and the per-doc sum is an ordered LEFT FOLD
+    over the gram array — no parallel double sum anywhere.
+
+    100 TB shape: two map-combinable groupBy(bucket) passes (the target
+    side is typically tiny anyway), one bounded collect, then a map-only
+    scoring pass with zero Exchange — the same two-pass broadcast-model
+    shape as ``unigram_logprob``, robust to any corpus size because the
+    broadcast is B-bounded."""
+    import math
+
+    from logpipe_spark.operators.dedup import base_hash60
+
+    if buckets > MAX_DSIR_BUCKETS:
+        raise ValueError(
+            f"dsir_scores: buckets={buckets} exceeds MAX_DSIR_BUCKETS="
+            f"{MAX_DSIR_BUCKETS} (literal-map path); reduce B"
+        )
+
+    def grams(text: Column) -> Column:
+        toks = _tokens(text)
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bi)
+
+    bucket = lambda g: base_hash60(F.concat(F.lit(salt + ":"), g)) % buckets
+
+    def bucket_counts(df: DataFrame) -> dict[int, int]:
+        rows = (
+            df.select(F.explode(grams(F.col(text_col))).alias("g"))
+            .select(bucket(F.col("g")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["b"]: r["c"] for r in rows}
+
+    t_c = bucket_counts(target)
+    r_c = bucket_counts(docs)
+    lt = math.log(sum(t_c.values()) + buckets)
+    lr = math.log(sum(r_c.values()) + buckets)
+    seen = sorted(set(t_c) | set(r_c))
+    lnr = {
+        b: (math.log(t_c.get(b, 0) + 1) - lt)
+        - (math.log(r_c.get(b, 0) + 1) - lr)
+        for b in seen
+    }
+    default = (math.log(1) - lt) - (math.log(1) - lr)
+    lnr_map = F.create_map(
+        *[x for b in seen for x in (F.lit(b), F.lit(lnr[b]))]
+    )
+    score = lambda gs: F.aggregate(
+        gs,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.coalesce(F.try_element_at(lnr_map, bucket(g)), F.lit(default)),
+    )
+    gs = grams(F.col(text_col))
+    return docs.select(
+        F.col(key_col),
+        F.size(gs).cast("long").alias("n_grams"),
+        F.round(score(gs), 4).alias("dsir_score"),
+    )

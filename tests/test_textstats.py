@@ -161,3 +161,68 @@ def test_unigram_logprob_is_scale_free_annotation(spark):
     assert joined.filter(F.col("n_tokens") != F.col("tc")).count() == 0
     # vocab_size=8 of 31 token types -> OOV must actually occur
     assert joined.filter(F.col("n_oov") > 0).count() > 0
+
+
+def test_dsir_scores_match_python_model(spark):
+    """Score equals a pure-Python recomputation of the hashed-n-gram
+    likelihood-ratio model, and target-like docs outscore unlike ones."""
+    import hashlib
+    import math
+
+    from logpipe_spark.operators.textstats import dsir_scores
+
+    target_rows = [(100, "the cat sat on the mat"),
+                   (101, "a cat and a mat")]
+    raw_rows = [(0, "the cat sat on the mat"),     # target-like
+                (1, "stock market index futures"),  # unlike
+                (2, "cat mat"),
+                (3, "")]
+    target = spark.createDataFrame(target_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    B = 64
+
+    def grams(text):
+        t = [w for w in text.lower().split(" ") if w]
+        return t + [" ".join(t[i:i + 2]) for i in range(len(t) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:15], 16) % B
+
+    def counts(rows):
+        c = {}
+        for _, text in rows:
+            for g in grams(text):
+                b = bucket(g)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    t_c, r_c = counts(target_rows), counts(raw_rows)
+    lt = math.log(sum(t_c.values()) + B)
+    lr = math.log(sum(r_c.values()) + B)
+
+    def expect(text):
+        s = 0.0
+        for g in grams(text):
+            b = bucket(g)
+            s += (math.log(t_c.get(b, 0) + 1) - lt) - (
+                math.log(r_c.get(b, 0) + 1) - lr
+            )
+        return round(s, 4), len(grams(text))
+
+    got = {r["doc_id"]: r for r in dsir_scores(docs, target, buckets=B).collect()}
+    for doc_id, text in raw_rows:
+        es, en = expect(text)
+        assert got[doc_id]["n_grams"] == en
+        assert abs(got[doc_id]["dsir_score"] - es) < 1e-9, (doc_id, es)
+    assert got[0]["dsir_score"] > got[1]["dsir_score"]
+    assert got[3]["dsir_score"] == 0.0 and got[3]["n_grams"] == 0
+
+
+def test_dsir_scores_bucket_cap(spark):
+    import pytest as _pytest
+
+    from logpipe_spark.operators.textstats import dsir_scores
+
+    docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        dsir_scores(docs, docs, buckets=100_000)
