@@ -827,7 +827,12 @@ def dedup_lines(
     line-keyed shuffle), (4) groupBy(doc) ordered reassembly (id-keyed).
     At production scale key steps 2-3 by a 128-bit line digest to cut
     shuffle bytes; raw strings kept here so the DuckDB oracle is
-    byte-identical with zero collision caveats."""
+    byte-identical with zero collision caveats. Skew note: a universal
+    boilerplate line ("END" in a billion docs) is a maximally hot key in
+    step 3's join — broadcast the dup set when it fits (it usually does:
+    duplicated lines ≪ all lines), else AQE skew-join splits the probe
+    side (on by default in this session, engagement tested in
+    test_plan_quality)."""
     lines = docs.select(
         F.col(key_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), delim)).alias("pos0", "raw"),
