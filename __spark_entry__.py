@@ -698,6 +698,19 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_gapfill(spark, sf_dir):
+    """Time-bucket gap-fill + linear interpolation (operators/asof.py:
+    gapfill_interpolate) — 15-minute buckets of integer-cents event
+    value per event_type, every empty bucket between a type's first and
+    last observation filled by interpolating its exact-integer
+    neighbors. Window partitions are calendar-bounded bucket series, not
+    data-sized. The fixture's 30-day × 5-type event stream leaves ~30%
+    of buckets empty at sf0.01, so both branches are live."""
+    from logpipe_spark.operators.asof import gapfill_interpolate
+
+    return gapfill_interpolate(_t(spark, sf_dir, "events"), interval_s=900)
+
+
 def q_dsir_scores(spark, sf_dir):
     """DSIR importance scores (operators/textstats.py:dsir_scores) —
     hashed unigram+bigram likelihood ratio of every document under the
@@ -1502,7 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_spans, remove_dup_spans, shuffle_corpus, skew_profile,
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
-    incremental_dedup, incremental_neardup, dsir_scores,
+    incremental_dedup, incremental_neardup, dsir_scores, gapfill,
     quantile_buckets, corpus_diff, split_leak_check, tpch_q1;
     dedup_fingerprint and minhash_lsh_pairs moved UP because their code
     was refactored this round — shared bow_fingerprint, extracted
@@ -1510,11 +1523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 13 veterans last green r1-r3 (rotated back through the window
     per the policy above). The tail holds r4-green entries whose code
     is UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, dedup_ngram_jaccard, dedup_keep_list, top_terms,
-    dedup_minhash, dedup_simhash, dedup_simhash_pairs, tpch_q3,
-    tpch_q5, and lead_lag dropped out of the window — all green r4,
-    implementations untouched; dedup_exact sits exactly at position
-    50).
+    ann_cosine_topk, dedup_exact, dedup_ngram_jaccard, dedup_keep_list,
+    top_terms, dedup_minhash, dedup_simhash, dedup_simhash_pairs,
+    tpch_q3, tpch_q5, and lead_lag dropped out of the window — all
+    green r4, implementations untouched; doc_route sits exactly at
+    position 50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1529,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,  # r5 new: delta-vs-index dedup
         "incremental_neardup": q_incremental_neardup,  # r5 new: delta LSH dedup
         "dsir_scores": q_dsir_scores,  # r5 new: importance-resampling scores
+        "gapfill": q_gapfill,  # r5 new: time-bucket interpolation
         "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
@@ -2383,6 +2397,51 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "incremental_neardup": _incremental_neardup_sql(32, 8),
+        "gapfill": """
+            WITH got AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 900000000 AS b,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS c
+              FROM events GROUP BY 1, 2
+            ), rng AS (
+              SELECT g, MIN(b) AS lo, MAX(b) AS hi FROM got GROUP BY g
+            ), allb AS (
+              SELECT g, unnest(range(lo, hi + 1)) AS b FROM rng
+            ), j AS (
+              SELECT allb.g, allb.b, got.c
+              FROM allb LEFT JOIN got USING (g, b)
+            ), w AS (
+              SELECT g, b, c,
+                     last_value(c IGNORE NULLS) OVER
+                       (PARTITION BY g ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS vp,
+                     last_value(CASE WHEN c IS NOT NULL THEN b END
+                                IGNORE NULLS) OVER
+                       (PARTITION BY g ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS bp,
+                     first_value(c IGNORE NULLS) OVER
+                       (PARTITION BY g ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS vn,
+                     first_value(CASE WHEN c IS NOT NULL THEN b END
+                                 IGNORE NULLS) OVER
+                       (PARTITION BY g ORDER BY b
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS bn
+              FROM j
+            )
+            SELECT g AS event_type,
+                   CAST(b * 900 AS BIGINT) AS bucket_start,
+                   ROUND(CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                              ELSE vp + (vn - vp) * (b - bp)
+                                   / CAST(bn - bp AS DOUBLE) END, 4)
+                     AS value_cents,
+                   c IS NULL AS filled
+            FROM w
+        """,
         "dsir_scores": """
             -- hashed unigram+bigram DSIR log-ratio; ln() == driver libm;
             -- per-doc sum is a position-ordered list_reduce LEFT FOLD

@@ -70,3 +70,36 @@ def test_range_join_boundaries(spark):
                    149.999: "mid", 150.0: "high"}  # -1.0 dropped (inner)
     left = range_join(facts, bands, "v", how="left")
     assert left.filter(F.col("label").isNull()).count() == 1
+
+
+def test_gapfill_interpolate_hand_values(spark):
+    """Buckets 0,1,3,6 present (interval 60 s) -> 2 interpolated between
+    1 and 3, and 4,5 interpolated between 3 and 6; endpoints exact."""
+    from logpipe_spark.operators.asof import gapfill_interpolate
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 10), 1.00),
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 50), 2.00),   # bucket 0: 300c
+        ("a", dt.datetime(2024, 1, 1, 0, 1, 30), 6.00),   # bucket 1: 600c
+        ("a", dt.datetime(2024, 1, 1, 0, 3, 30), 12.00),  # bucket 3: 1200c
+        ("a", dt.datetime(2024, 1, 1, 0, 6, 30), 3.00),   # bucket 6: 300c
+        ("b", dt.datetime(2024, 1, 1, 0, 0, 5), 5.00),    # single bucket
+    ]
+    events = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = {
+        (r["event_type"], r["bucket_start"]): r
+        for r in gapfill_interpolate(events, interval_s=60).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    a = {k[1] - base: v for k, v in got.items() if k[0] == "a"}
+    assert sorted(a) == [0, 60, 120, 180, 240, 300, 360]
+    assert (a[0]["value_cents"], a[0]["filled"]) == (300.0, False)
+    assert (a[60]["value_cents"], a[60]["filled"]) == (600.0, False)
+    # bucket 2 midway between 600 (b1) and 1200 (b3)
+    assert (a[120]["value_cents"], a[120]["filled"]) == (900.0, True)
+    assert a[180]["value_cents"] == 1200.0
+    # buckets 4,5 on the 1200 -> 300 line: 900, 600
+    assert (a[240]["value_cents"], a[300]["value_cents"]) == (900.0, 600.0)
+    assert a[360]["value_cents"] == 300.0
+    bb = [v for k, v in got.items() if k[0] == "b"]
+    assert len(bb) == 1 and bb[0]["value_cents"] == 500.0 and not bb[0]["filled"]
