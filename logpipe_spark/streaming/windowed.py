@@ -81,3 +81,47 @@ def run_windowed_stream(
         q.stop()
     data = os.path.join(out_dir, "data")
     return spark.read.parquet(data).count() if os.path.isdir(data) else 0
+
+
+def session_window_stats(
+    stream_df: DataFrame,
+    gap_minutes: int = 30,
+    watermark_minutes: int = 60,
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Event-time SESSION windows — dynamic-length windows that extend as
+    long as consecutive events per key arrive within ``gap_minutes`` of
+    each other, and close after a quiet gap (Spark's native
+    ``session_window``, the streaming counterpart of the batch
+    ``sessionize`` query's lag-gap rule). Returns one row per closed
+    session: (key, session_start, session_end, n_events, chars).
+
+    Works on a streaming OR batch frame (unified semantics); on a stream
+    the watermark both drops too-late events and lets a session FINALIZE
+    — a session can only be emitted once event time passes its end + gap
+    + watermark, which is why append mode requires the watermark at all.
+
+    Scale: state is one open session per active key (merged as events
+    extend it) — |active keys| × one row, evicted at close; the merge is
+    Spark-native session consolidation, no custom state code."""
+    return (
+        stream_df.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias(
+                "sw"
+            ),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "chars",
+        )
+    )

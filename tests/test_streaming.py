@@ -348,3 +348,70 @@ def test_stream_incremental_dedup_vs_static_index(spark, tmp_path):
     got = sorted(r["text"] for r in res.collect())
     assert got == ["fresh one", "fresh two"]
     assert "fingerprint" in res.columns  # admitted rows carry their fp
+
+
+def test_session_window_stream_matches_batch(spark, transcripts_pdf, tmp_path):
+    """Session windows through a real availableNow stream: every emitted
+    (closed) session equals the batch-mode session for that key exactly;
+    batch mode verifies the gap rule on a hand fixture too."""
+    import pandas as pd
+
+    from logpipe_spark.streaming.dedup import stream_exact_dedup  # noqa: F401
+    from logpipe_spark.streaming.stream import TRANSCRIPT_SCHEMA
+    from logpipe_spark.streaming.windowed import session_window_stats
+
+    # hand fixture first (batch mode): two sessions for c1 (45-min gap),
+    # one for c2
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1", "c2"],
+            "turn_idx": pd.array([0, 1, 2, 0], dtype="int32"),
+            "role": ["user"] * 4,
+            "text": ["aa", "bbb", "c", "dddd"],
+            "tool": [""] * 4,
+            "ts": pd.to_datetime(
+                ["2026-01-01 10:00", "2026-01-01 10:10",
+                 "2026-01-01 10:55", "2026-01-01 10:05"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    batch = spark.createDataFrame(rows)
+    got = sorted(
+        (r["conv_id"], r["n_events"], r["chars"])
+        for r in session_window_stats(batch, gap_minutes=30).collect()
+    )
+    assert got == [("c1", 1, 1), ("c1", 2, 5), ("c2", 1, 4)]
+
+    # streaming: emitted closed sessions ⊆ batch sessions, values exact
+    src = str(tmp_path / "src")
+    out = tmp_path / "out"
+    write_snapshots(transcripts_pdf, src, n_snapshots=2)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "snapshot=*"))
+    )
+    q = (
+        session_window_stats(stream, gap_minutes=30, watermark_minutes=60)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(out / "_ckpt"))
+        .trigger(availableNow=True)
+        .start(str(out / "data"))
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    emitted = {
+        (r["conv_id"], r["session_start"], r["session_end"]):
+            (r["n_events"], r["chars"])
+        for r in spark.read.parquet(str(out / "data")).collect()
+    }
+    full = spark.read.option("basePath", src).parquet(src)
+    exp = {
+        (r["conv_id"], r["session_start"], r["session_end"]):
+            (r["n_events"], r["chars"])
+        for r in session_window_stats(full).collect()
+    }
+    assert set(emitted) <= set(exp)
+    for k, v in emitted.items():
+        assert v == exp[k], k
