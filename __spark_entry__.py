@@ -698,6 +698,25 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_session_windows(spark, sf_dir):
+    """Native dynamic session windows (streaming/windowed.py:
+    session_window_stats, run in batch mode — Spark's unified semantics
+    make the batch result the stream's ground truth): per-user sessions
+    over events with a 30-minute gap, session_end = last event + gap.
+    Oracle rebuilds the same sessions with the lag-gap rule (split when
+    ts - prev >= gap, mirroring session_window's exclusive end)."""
+    from logpipe_spark.streaming.windowed import session_window_stats
+
+    ev = _t(spark, sf_dir, "events").withColumn("text", F.col("props"))
+    return session_window_stats(
+        ev, gap_minutes=30, key_col="user_id"
+    ).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("chars").cast("long").alias("chars"),
+    )
+
+
 def q_gapfill(spark, sf_dir):
     """Time-bucket gap-fill + linear interpolation (operators/asof.py:
     gapfill_interpolate) — 15-minute buckets of integer-cents event
@@ -1516,18 +1535,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
     incremental_dedup, incremental_neardup, dsir_scores, gapfill,
-    quantile_buckets, corpus_diff, split_leak_check, tpch_q1;
+    session_windows, quantile_buckets, corpus_diff, split_leak_check,
+    tpch_q1;
     dedup_fingerprint and minhash_lsh_pairs moved UP because their code
     was refactored this round — shared bow_fingerprint, extracted
     _band_rows — and changed code re-verifies in-window) — followed by
     the 13 veterans last green r1-r3 (rotated back through the window
     per the policy above). The tail holds r4-green entries whose code
     is UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, dedup_exact, dedup_ngram_jaccard, dedup_keep_list,
-    top_terms, dedup_minhash, dedup_simhash, dedup_simhash_pairs,
-    tpch_q3, tpch_q5, and lead_lag dropped out of the window — all
-    green r4, implementations untouched; doc_route sits exactly at
-    position 50).
+    ann_cosine_topk, doc_route, dedup_exact, dedup_ngram_jaccard,
+    dedup_keep_list, top_terms, dedup_minhash, dedup_simhash,
+    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
+    the window — all green r4, implementations untouched; windowed_agg
+    sits exactly at position 50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1543,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,  # r5 new: delta LSH dedup
         "dsir_scores": q_dsir_scores,  # r5 new: importance-resampling scores
         "gapfill": q_gapfill,  # r5 new: time-bucket interpolation
+        "session_windows": q_session_windows,  # r5 new: native session windows
         "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
@@ -2397,6 +2418,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "incremental_neardup": _incremental_neardup_sql(32, 8),
+        "session_windows": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, props,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pts
+              FROM events
+            ), m AS (
+              SELECT user_id, ts, props,
+                     SUM(CASE WHEN pts IS NULL
+                               OR ts - pts >= INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(length(props)) AS BIGINT) AS chars
+            FROM m GROUP BY user_id, sid
+        """,
         "gapfill": """
             WITH got AS (
               SELECT event_type AS g,
