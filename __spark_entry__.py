@@ -698,6 +698,22 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel conversion (operators/asof.py:funnel_steps) —
+    view → click → purchase per user with a 24-hour per-step window,
+    strict ordering, first-touch MIN rule. At sf0.01 the funnel narrows
+    150 → 60 → 25 (every branch live); chained min-agg + key-join
+    passes, no per-user arrays. Oracle mirrors the identical chained
+    CTEs."""
+    from logpipe_spark.operators.asof import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        window_s=86400,
+    )
+
+
 def q_session_windows(spark, sf_dir):
     """Native dynamic session windows (streaming/windowed.py:
     session_window_stats, run in batch mode — Spark's unified semantics
@@ -1535,19 +1551,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
     incremental_dedup, incremental_neardup, dsir_scores, gapfill,
-    session_windows, quantile_buckets, corpus_diff, split_leak_check,
-    tpch_q1;
+    session_windows, funnel, quantile_buckets, corpus_diff,
+    split_leak_check, tpch_q1;
     dedup_fingerprint and minhash_lsh_pairs moved UP because their code
     was refactored this round — shared bow_fingerprint, extracted
     _band_rows — and changed code re-verifies in-window) — followed by
     the 13 veterans last green r1-r3 (rotated back through the window
     per the policy above). The tail holds r4-green entries whose code
     is UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, doc_route, dedup_exact, dedup_ngram_jaccard,
-    dedup_keep_list, top_terms, dedup_minhash, dedup_simhash,
-    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
-    the window — all green r4, implementations untouched; windowed_agg
-    sits exactly at position 50).
+    ann_cosine_topk, windowed_agg, doc_route, dedup_exact,
+    dedup_ngram_jaccard, dedup_keep_list, top_terms, dedup_minhash,
+    dedup_simhash, dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag
+    dropped out of the window — all green r4, implementations
+    untouched; sessionize sits exactly at position 50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1564,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,  # r5 new: importance-resampling scores
         "gapfill": q_gapfill,  # r5 new: time-bucket interpolation
         "session_windows": q_session_windows,  # r5 new: native session windows
+        "funnel": q_funnel,  # r5 new: ordered conversion funnel
         "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
@@ -2418,6 +2435,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "incremental_neardup": _incremental_neardup_sql(32, 8),
+        "funnel": """
+            WITH t0 AS (
+              SELECT user_id, MIN(ts) AS ts0 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), t1 AS (
+              SELECT e.user_id, MIN(e.ts) AS ts1
+              FROM events e JOIN t0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > t0.ts0
+                AND e.ts <= t0.ts0 + INTERVAL 86400 SECOND
+              GROUP BY e.user_id
+            ), t2 AS (
+              SELECT e.user_id, MIN(e.ts) AS ts2
+              FROM events e JOIN t1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t1.ts1
+                AND e.ts <= t1.ts1 + INTERVAL 86400 SECOND
+              GROUP BY e.user_id
+            ), u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST((ts0 IS NOT NULL)::INT + (ts1 IS NOT NULL)::INT
+                        + (ts2 IS NOT NULL)::INT AS BIGINT)
+                     AS steps_reached,
+                   ts0 AS first_step_ts,
+                   COALESCE(ts2, ts1, ts0) AS last_reached_ts
+            FROM u
+            LEFT JOIN t0 USING (user_id)
+            LEFT JOIN t1 USING (user_id)
+            LEFT JOIN t2 USING (user_id)
+        """,
         "session_windows": """
             WITH o AS (
               SELECT user_id, event_id, ts, props,

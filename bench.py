@@ -352,7 +352,7 @@ def main() -> None:
         "profile_columns", "temperature_mix", "unigram_logprob", "dedup_lines",
         "neardup_keep_best", "incremental_dedup", "quantile_buckets",
         "corpus_diff", "split_leak_check", "tpch_q1", "incremental_neardup",
-        "dsir_scores", "gapfill", "session_windows",
+        "dsir_scores", "gapfill", "session_windows", "funnel",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -166,3 +166,73 @@ def gapfill_interpolate(
         ).alias("value_cents"),
         F.col("c").isNull().alias("filled"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion — the product-analytics staple (view →
+    click → purchase): for every key, how far through the ordered step
+    list did they get, where step i counts only if it happens STRICTLY
+    after step i-1's completion time and within ``window_s`` seconds of
+    it. Completion time of a step = the EARLIEST qualifying event (the
+    standard first-touch rule, which also makes the result
+    order-deterministic: MIN is well-defined under ties).
+
+    Returns one row per key seen in ``events``: (key, steps_reached,
+    first_step_ts, last_reached_ts) — 0/NULL/NULL for keys that never
+    performed the first step.
+
+    100 TB shape: NO per-key event arrays and no windows — k chained
+    (filter → min-aggregate → key-join) passes, each map-combinable and
+    each joining against a step table that only SHRINKS (conversion
+    funnels monotonically narrow, so later joins are broadcast-sized in
+    practice); k is the funnel length, a constant. This beats the
+    collect-per-user fold whenever one user can hold millions of events."""
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    prev = None
+    step_ts = []
+    for i, st in enumerate(steps):
+        f = events.filter(F.col(type_col) == st).select(
+            F.col(key_col).alias("_k"), F.col(ts_col).alias("_t")
+        )
+        if i == 0:
+            s = f.groupBy("_k").agg(F.min("_t").alias("_t0"))
+        else:
+            s = (
+                f.join(prev.select("_k", f"_t{i - 1}"), "_k")
+                .filter(
+                    (F.col("_t") > F.col(f"_t{i - 1}"))
+                    & (
+                        F.col("_t")
+                        <= F.col(f"_t{i - 1}")
+                        + F.expr(f"INTERVAL {window_s} SECOND")
+                    )
+                )
+                .groupBy("_k")
+                .agg(F.min("_t").alias(f"_t{i}"))
+            )
+        prev = s
+        step_ts.append(s)
+    out = events.select(F.col(key_col).alias("_k")).distinct()
+    for s in step_ts:
+        out = out.join(s, "_k", "left")
+    reached = sum(
+        (F.col(f"_t{i}").isNotNull().cast("long") for i in range(len(steps))),
+        F.lit(0).cast("long"),
+    )
+    last_ts = F.coalesce(
+        *[F.col(f"_t{i}") for i in reversed(range(len(steps)))]
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        reached.alias("steps_reached"),
+        F.col("_t0").alias("first_step_ts"),
+        last_ts.alias("last_reached_ts"),
+    )

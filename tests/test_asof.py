@@ -103,3 +103,38 @@ def test_gapfill_interpolate_hand_values(spark):
     assert a[360]["value_cents"] == 300.0
     bb = [v for k, v in got.items() if k[0] == "b"]
     assert len(bb) == 1 and bb[0]["value_cents"] == 500.0 and not bb[0]["filled"]
+
+
+def test_funnel_steps_hand_values(spark):
+    """Strict ordering, per-step window, first-touch MIN rule, and the
+    never-started key all behave."""
+    from logpipe_spark.operators.asof import funnel_steps
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0)
+    m = lambda minutes: t0 + dt.timedelta(minutes=minutes)
+    rows = [
+        # u1 full conversion: view@0, click@10, purchase@20
+        (1, "view", m(0)), (1, "click", m(10)), (1, "purchase", m(20)),
+        # u2: click BEFORE view never counts; later click outside window
+        (2, "click", m(-5)), (2, "view", m(0)), (2, "click", m(120)),
+        # u3: converts, but purchase precedes click -> stops at 2
+        (3, "purchase", m(1)), (3, "view", m(0)), (3, "click", m(30)),
+        # u4 never views
+        (4, "purchase", m(0)),
+        # u5 first-touch: two clicks qualify; earliest sets the clock and
+        # the purchase is within ITS window
+        (5, "view", m(0)), (5, "click", m(5)), (5, "click", m(50)),
+        (5, "purchase", m(60)),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {r["user_id"]: r
+           for r in funnel_steps(events, ["view", "click", "purchase"],
+                                 window_s=3600).collect()}
+    assert got[1]["steps_reached"] == 3
+    assert got[1]["last_reached_ts"] == m(20)
+    assert got[2]["steps_reached"] == 1       # both clicks disqualified
+    assert got[3]["steps_reached"] == 2       # purchase before click
+    assert got[4]["steps_reached"] == 0
+    assert got[4]["first_step_ts"] is None
+    assert got[5]["steps_reached"] == 3       # clock from click@5
+    assert got[5]["last_reached_ts"] == m(60)
