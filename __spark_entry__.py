@@ -698,6 +698,16 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/asof.py:cohort_retention) —
+    weekly cohorts by first activity, distinct active users per
+    (cohort, offset). Buckets are epoch-day // 7 integer arithmetic, so
+    both engines agree without ISO-week calendar rules."""
+    from logpipe_spark.operators.asof import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel conversion (operators/asof.py:funnel_steps) —
     view → click → purchase per user with a 24-hour per-step window,
@@ -1551,19 +1561,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
     incremental_dedup, incremental_neardup, dsir_scores, gapfill,
-    session_windows, funnel, quantile_buckets, corpus_diff,
-    split_leak_check, tpch_q1;
+    session_windows, funnel, cohort_retention, quantile_buckets,
+    corpus_diff, split_leak_check, tpch_q1;
     dedup_fingerprint and minhash_lsh_pairs moved UP because their code
     was refactored this round — shared bow_fingerprint, extracted
     _band_rows — and changed code re-verifies in-window) — followed by
     the 13 veterans last green r1-r3 (rotated back through the window
     per the policy above). The tail holds r4-green entries whose code
     is UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, windowed_agg, doc_route, dedup_exact,
+    ann_cosine_topk, sessionize, windowed_agg, doc_route, dedup_exact,
     dedup_ngram_jaccard, dedup_keep_list, top_terms, dedup_minhash,
     dedup_simhash, dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag
     dropped out of the window — all green r4, implementations
-    untouched; sessionize sits exactly at position 50).
+    untouched; window_topk sits exactly at position 50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1581,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill": q_gapfill,  # r5 new: time-bucket interpolation
         "session_windows": q_session_windows,  # r5 new: native session windows
         "funnel": q_funnel,  # r5 new: ordered conversion funnel
+        "cohort_retention": q_cohort_retention,  # r5 new: retention matrix
         "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
@@ -2435,6 +2446,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "incremental_neardup": _incremental_neardup_sql(32, 8),
+        "cohort_retention": """
+            WITH acts AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // 86400000000) // 7 AS w
+              FROM events
+            ), cohorts AS (
+              SELECT user_id, MIN(w) AS cw FROM acts GROUP BY user_id
+            )
+            SELECT CAST(c.cw * 7 AS BIGINT) AS cohort_start_day,
+                   CAST(a.w - c.cw AS BIGINT) AS bucket_offset,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM acts a JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2
+        """,
         "funnel": """
             WITH t0 AS (
               SELECT user_id, MIN(ts) AS ts0 FROM events

@@ -236,3 +236,44 @@ def funnel_steps(
         F.col("_t0").alias("first_step_ts"),
         last_ts.alias("last_reached_ts"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention — funnel analysis's sibling and the other
+    product-analytics staple: group keys by their first-activity bucket
+    (the cohort), then count how many of each cohort are still active
+    0, 1, 2, … buckets later. Buckets are epoch-day // ``bucket_days``
+    (pure integer arithmetic — engine-exact, no ISO-week calendar
+    ambiguity).
+
+    Returns (cohort_start_day, bucket_offset, n_users): epoch-day of
+    the cohort bucket's start, offset in buckets (0 = the cohort's own
+    bucket, always its full size), distinct active keys.
+
+    100 TB shape: activity collapses to DISTINCT (key, bucket) first —
+    the only pass over raw events, map-side partial distinct; cohorts
+    are a key-keyed MIN agg; the retention matrix is one
+    groupBy(cohort, offset) COUNT DISTINCT over the already-collapsed
+    activity rows. Output is |cohorts| × |offsets| — calendar-bounded,
+    tiny."""
+    day = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")) / 86400
+    ).cast("long")
+    wk = F.floor(day / bucket_days).cast("long")
+    acts = (
+        events.select(F.col(key_col).alias("_k"), wk.alias("_w")).distinct()
+    )
+    cohorts = acts.groupBy("_k").agg(F.min("_w").alias("_cw"))
+    return (
+        acts.join(cohorts, "_k")
+        .groupBy(
+            (F.col("_cw") * bucket_days).alias("cohort_start_day"),
+            (F.col("_w") - F.col("_cw")).alias("bucket_offset"),
+        )
+        .agg(F.countDistinct("_k").alias("n_users"))
+    )

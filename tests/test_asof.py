@@ -138,3 +138,31 @@ def test_funnel_steps_hand_values(spark):
     assert got[4]["first_step_ts"] is None
     assert got[5]["steps_reached"] == 3       # clock from click@5
     assert got[5]["last_reached_ts"] == m(60)
+
+
+def test_cohort_retention_hand_values(spark):
+    """Two cohorts; retention counts per offset; offset 0 equals cohort
+    size; an inactive middle bucket simply has no row."""
+    from logpipe_spark.operators.asof import cohort_retention
+
+    d = lambda day, h=12: dt.datetime(1970, 1, 1 + day, h)  # epoch-day d
+    rows = [
+        # cohort week 0 (days 0-6): users 1, 2
+        (1, d(0)), (1, d(1)),          # active wk0 only... then wk2
+        (1, d(15)),                    # wk2
+        (2, d(3)), (2, d(8)),          # wk0, wk1
+        # cohort week 1 (days 7-13): user 3
+        (3, d(9)), (3, d(16)),         # wk1, wk2
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["cohort_start_day"], r["bucket_offset"]): r["n_users"]
+        for r in cohort_retention(events).collect()
+    }
+    assert got == {
+        (0, 0): 2,   # users 1,2
+        (0, 1): 1,   # user 2
+        (0, 2): 1,   # user 1
+        (7, 0): 1,   # user 3
+        (7, 1): 1,   # user 3 in wk2 = offset 1
+    }
