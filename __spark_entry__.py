@@ -698,6 +698,19 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_scd2(spark, sf_dir):
+    """SCD2 dimension history (operators/asof.py:scd2_intervals) —
+    per-user event_type treated as a changing attribute: consecutive
+    equal values collapse, each change opens an interval closed by the
+    next (exclusive), last interval current. The producer side of the
+    as-of/range join family. One key shuffle + lag/lead; oracle mirrors
+    the identical window chain with the same (ts, event_id)
+    tie-break."""
+    from logpipe_spark.operators.asof import scd2_intervals
+
+    return scd2_intervals(_t(spark, sf_dir, "events"))
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix (operators/asof.py:cohort_retention) —
     weekly cohorts by first activity, distinct active users per
@@ -1561,7 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
     incremental_dedup, incremental_neardup, dsir_scores, gapfill,
-    session_windows, funnel, cohort_retention, quantile_buckets,
+    session_windows, funnel, cohort_retention, scd2, quantile_buckets,
     corpus_diff, split_leak_check, tpch_q1;
     dedup_fingerprint and minhash_lsh_pairs moved UP because their code
     was refactored this round — shared bow_fingerprint, extracted
@@ -1569,11 +1582,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 13 veterans last green r1-r3 (rotated back through the window
     per the policy above). The tail holds r4-green entries whose code
     is UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, sessionize, windowed_agg, doc_route, dedup_exact,
-    dedup_ngram_jaccard, dedup_keep_list, top_terms, dedup_minhash,
-    dedup_simhash, dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag
-    dropped out of the window — all green r4, implementations
-    untouched; window_topk sits exactly at position 50).
+    ann_cosine_topk, window_topk, sessionize, windowed_agg, doc_route,
+    dedup_exact, dedup_ngram_jaccard, dedup_keep_list, top_terms,
+    dedup_minhash, dedup_simhash, dedup_simhash_pairs, tpch_q3,
+    tpch_q5, and lead_lag dropped out of the window — all green r4,
+    implementations untouched; agg_persink sits exactly at position
+    50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1592,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,  # r5 new: native session windows
         "funnel": q_funnel,  # r5 new: ordered conversion funnel
         "cohort_retention": q_cohort_retention,  # r5 new: retention matrix
+        "scd2": q_scd2,  # r5 new: SCD2 dimension history build
         "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
@@ -2446,6 +2461,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "incremental_neardup": _incremental_neardup_sql(32, 8),
+        "scd2": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events
+            ), ch AS (
+              SELECT user_id, event_type, ts, event_id FROM o
+              WHERE prev IS NULL OR event_type <> prev
+            )
+            SELECT user_id,
+                   event_type AS attr,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+                     AS is_current
+            FROM ch
+        """,
         "cohort_retention": """
             WITH acts AS (
               SELECT DISTINCT user_id,

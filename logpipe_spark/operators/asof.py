@@ -277,3 +277,50 @@ def cohort_retention(
         )
         .agg(F.countDistinct("_k").alias("n_users"))
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) history from an
+    event stream: per key, collapse consecutive events with the SAME
+    attribute value into one validity interval, opening a new interval
+    at each change. This is the producer side of :func:`asof_join` /
+    :func:`range_join` — the dimension table they probe is exactly this
+    output.
+
+    Returns (key, attr, valid_from, valid_to, is_current): valid_from
+    the first event ts carrying the value, valid_to the next change's
+    ts (exclusive, NULL while current). Ordering ties on ``ts`` break
+    by ``order_col`` so the history is deterministic.
+
+    100 TB shape: ONE shuffle by key + per-key sort (the same price as
+    the as-of join itself); change detection and interval close are
+    lag/lead over that sort — no self-join, no state. Per-key row
+    counts are bounded by key activity, with the pipeline's standard
+    salting defense if a key is pathologically hot."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    changed = (
+        events.select(key_col, attr_col, ts_col, order_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    return (
+        changed.withColumn("_to", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key_col),
+            F.col(attr_col).alias("attr"),
+            F.col(ts_col).alias("valid_from"),
+            F.col("_to").alias("valid_to"),
+            F.col("_to").isNull().alias("is_current"),
+        )
+    )

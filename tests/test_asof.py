@@ -166,3 +166,43 @@ def test_cohort_retention_hand_values(spark):
         (7, 0): 1,   # user 3
         (7, 1): 1,   # user 3 in wk2 = offset 1
     }
+
+
+def test_scd2_intervals_hand_history(spark):
+    """Runs of equal values collapse; every change opens an interval
+    closed by the next change; the last interval is current; composes
+    with asof_join as its dimension side."""
+    from logpipe_spark.operators.asof import asof_join, scd2_intervals
+
+    t = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    rows = [
+        (1, "bronze", t(0), 100),
+        (1, "bronze", t(5), 101),   # same value -> no new interval
+        (1, "gold", t(10), 102),
+        (1, "bronze", t(20), 103),  # back again -> third interval
+        (2, "gold", t(1), 200),
+    ]
+    events = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "event_id"]
+    )
+    got = sorted(
+        (r["user_id"], r["attr"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in scd2_intervals(events).collect()
+    )
+    assert got == [
+        (1, "bronze", t(0), t(10), False),
+        (1, "bronze", t(20), None, True),
+        (1, "gold", t(10), t(20), False),
+        (2, "gold", t(1), None, True),
+    ]
+
+    # composition: as-of probe at 10:15 sees user 1 as gold
+    dim = scd2_intervals(events).select(
+        F.col("user_id").alias("key"), F.col("valid_from").alias("ts"),
+        F.col("attr"),
+    )
+    probe = spark.createDataFrame([(1, t(15))], ["key", "ts"])
+    j = asof_join(probe, dim, "key", "key", "ts", "ts",
+                  right_payload=["attr"]).collect()
+    assert len(j) == 1 and j[0]["attr"] == "gold"
