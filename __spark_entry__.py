@@ -698,6 +698,34 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_hopping_window(spark, sf_dir):
+    """Hopping (sliding) event-time windows — the overlap variant of
+    q_windowed_agg: 30-minute windows every 15 minutes, so each event
+    lands in exactly two. Same F.window expression the streaming path
+    would use (unified semantics); oracle expands each event into its
+    window starts with the standard k ∈ (⌊(t−size)/slide⌋, ⌊t/slide⌋]
+    integer-range rule, exclusive upper window edge included."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "30 minutes", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.unix_timestamp("win.start").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def q_scd2(spark, sf_dir):
     """SCD2 dimension history (operators/asof.py:scd2_intervals) —
     per-user event_type treated as a changing attribute: consecutive
@@ -1574,20 +1602,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     profile_columns, and — late round 5 — temperature_mix,
     unigram_logprob, dedup_lines, neardup_keep_best, bucketed_join,
     incremental_dedup, incremental_neardup, dsir_scores, gapfill,
-    session_windows, funnel, cohort_retention, scd2, quantile_buckets,
-    corpus_diff, split_leak_check, tpch_q1;
+    session_windows, funnel, cohort_retention, scd2, hopping_window,
+    quantile_buckets, corpus_diff, split_leak_check, tpch_q1;
     dedup_fingerprint and minhash_lsh_pairs moved UP because their code
     was refactored this round — shared bow_fingerprint, extracted
     _band_rows — and changed code re-verifies in-window) — followed by
     the 13 veterans last green r1-r3 (rotated back through the window
     per the policy above). The tail holds r4-green entries whose code
     is UNCHANGED since their r4 verdict (hash_split, corpus_filter,
-    ann_cosine_topk, window_topk, sessionize, windowed_agg, doc_route,
-    dedup_exact, dedup_ngram_jaccard, dedup_keep_list, top_terms,
-    dedup_minhash, dedup_simhash, dedup_simhash_pairs, tpch_q3,
-    tpch_q5, and lead_lag dropped out of the window — all green r4,
-    implementations untouched; agg_persink sits exactly at position
-    50).
+    ann_cosine_topk, agg_persink, window_topk, sessionize,
+    windowed_agg, doc_route, dedup_exact, dedup_ngram_jaccard,
+    dedup_keep_list, top_terms, dedup_minhash, dedup_simhash,
+    dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
+    the window — all green r4, implementations untouched; enrich_anti
+    sits exactly at position 50).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -1607,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,  # r5 new: ordered conversion funnel
         "cohort_retention": q_cohort_retention,  # r5 new: retention matrix
         "scd2": q_scd2,  # r5 new: SCD2 dimension history build
+        "hopping_window": q_hopping_window,  # r5 new: sliding windows
         "dedup_fingerprint": q_dedup_fingerprint,  # r5: bow_fingerprint refactor
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r5: _band_rows refactor
         "quantile_buckets": q_quantile_buckets,  # r5 new: exact score tranches
@@ -2461,6 +2490,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_sql(32),
         "minhash_lsh_pairs": _minhash_lsh_sql(32, 8),
         "incremental_neardup": _incremental_neardup_sql(32, 8),
+        "hopping_window": """
+            WITH e AS (
+              SELECT event_type, value, epoch_us(ts) AS tu FROM events
+            ), w AS (
+              SELECT event_type, value,
+                     unnest(range((tu - 1800000000) // 900000000 + 1,
+                                  tu // 900000000 + 1)) AS k
+              FROM e
+            )
+            SELECT CAST(k * 900 AS BIGINT) AS win_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM w GROUP BY 1, 2
+        """,
         "scd2": """
             WITH o AS (
               SELECT user_id, event_type, ts, event_id,

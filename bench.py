@@ -353,7 +353,7 @@ def main() -> None:
         "neardup_keep_best", "incremental_dedup", "quantile_buckets",
         "corpus_diff", "split_leak_check", "tpch_q1", "incremental_neardup",
         "dsir_scores", "gapfill", "session_windows", "funnel",
-        "cohort_retention", "scd2",
+        "cohort_retention", "scd2", "hopping_window",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:
