@@ -726,6 +726,79 @@ def q_hopping_window(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["spark", "vector", "merge"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k relevance search (operators/search.py:bm25_topk) —
+    rank the corpus for a 3-term query. Map-side per-term tf (no
+    explode), one 1-row stats broadcast, TakeOrderedAndProject top-k;
+    the corpus itself is never shuffled. Scores are pure-IEEE doubles
+    (rational RSJ idf — no libm), so the oracle, generated from the
+    same parameters by bm25_oracle_sql, matches bit for bit."""
+    from logpipe_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+def q_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly detection (operators/asof.py:rate_anomaly) —
+    hourly per-type counts z-scored against the trailing 24 observed
+    buckets (frame excludes the current row). S/Q/w are integer window
+    aggregates; z = (w·n − S)/√(w·Q − S²) is one IEEE division + sqrt,
+    so doubles match DuckDB exactly. At sf0.01 both branches are live:
+    ~47 anomalies, 40 null-z series heads."""
+    from logpipe_spark.operators.asof import rate_anomaly
+
+    return rate_anomaly(_t(spark, sf_dir, "events"))
+
+
+def q_cdc_merge(spark, sf_dir):
+    """Latest-wins CDC merge (operators/cdc.py:merge_changes) — events
+    become a change stream over documents: key (event_id % 60) * 11
+    (46 base keys + 14 insert keys above the sf0.01 base range, 454
+    base rows untouched — every merge branch live), op D on purchase
+    else U, ordered by (ts, event_id). One window over the DELTA only,
+    one full-outer key join."""
+    from logpipe_spark.operators.cdc import merge_changes
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 60) * 11).alias("doc_id"),
+        F.when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("lang"),
+        F.lit("cdc").alias("source"),
+        F.length("props").cast("long").alias("n_chars"),
+    )
+    return merge_changes(docs, ch, "doc_id", ["ts", "event_id"])
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Engine-portable HyperLogLog (operators/sketch.py) — three
+    cardinality regimes from one table (props ≈ 100 distinct exercises
+    the linear-counting branch, user_id mid, event_id = every register
+    hit exercises the raw-estimator branch). Register index/rank are
+    md5-derived integers, the harmonic denominator is an exact scaled
+    BIGINT sum, and the only float math is one literal-table multiply
+    or one division — value-hash-identical to the DuckDB mirror."""
+    from logpipe_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    parts = [
+        hll_distinct(ev.select(c), c).withColumn("col_name", F.lit(c))
+        for c in ("props", "user_id", "event_id")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_scd2(spark, sf_dir):
     """SCD2 dimension history (operators/asof.py:scd2_intervals) —
     per-user event_type treated as a changing attribute: consecutive
@@ -1614,11 +1687,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     windowed_agg, doc_route, dedup_exact, dedup_ngram_jaccard,
     dedup_keep_list, top_terms, dedup_minhash, dedup_simhash,
     dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
-    the window — all green r4, implementations untouched; enrich_anti
-    sits exactly at position 50).
+    the window — all green r4, implementations untouched). Late round
+    5 added four more new queries at the head (bm25_topk, rate_anomaly,
+    cdc_merge, hll_distinct), pushing route_fanout/route_dropped/
+    enrich_broadcast/enrich_anti (green r4, untouched) past the cap;
+    parse_extract now sits exactly at position 50.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "bm25_topk": q_bm25_topk,  # r5 new: full-text relevance top-k
+        "rate_anomaly": q_rate_anomaly,  # r5 new: trailing-window z-score
+        "cdc_merge": q_cdc_merge,  # r5 new: latest-wins upsert/delete merge
+        "hll_distinct": q_hll_distinct,  # r5 new: portable HLL sketch
         "temperature_mix": q_temperature_mix,  # r5 new: α-sampling
         "unigram_logprob": q_unigram_logprob,  # r5 new: unigram LM score
         "dedup_lines": q_dedup_lines,  # r5 new: C4 line-level dedup
@@ -1979,7 +2059,61 @@ def _bpe_merge_tokens_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     ev_case = rules_to_sql_case(EVENT_RULES)
     doc_case = rules_to_sql_case(DOC_RULES)
+    from logpipe_spark.operators.search import bm25_oracle_sql
+    from logpipe_spark.operators.sketch import hll_oracle_sql
+
+    hll_union = "\nUNION ALL\n".join(
+        f"SELECT *, '{c}' AS col_name FROM ({hll_oracle_sql('events', c)})"
+        for c in ("props", "user_id", "event_id")
+    )
     return {
+        "bm25_topk": bm25_oracle_sql(_BM25_TERMS, k=10),
+        "rate_anomaly": """
+            WITH counts AS (
+              SELECT event_type AS key, epoch_us(ts) // 3600000000 AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), stats AS (
+              SELECT key, bucket, n,
+                CAST(COALESCE(COUNT(*) OVER f, 0) AS BIGINT) AS w,
+                CAST(SUM(n) OVER f AS BIGINT) AS s,
+                CAST(SUM(n*n) OVER f AS BIGINT) AS q
+              FROM counts
+              WINDOW f AS (PARTITION BY key ORDER BY bucket
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            ), scored AS (
+              SELECT key, bucket, n, w,
+                CASE WHEN w >= 8 AND w*q - s*s > 0
+                     THEN CAST(w*n - s AS DOUBLE)
+                          / sqrt(CAST(w*q - s*s AS DOUBLE)) END AS z
+              FROM stats
+            )
+            SELECT key, bucket, n, w, z,
+                   z IS NOT NULL AND abs(z) > 3.0 AS is_anomaly
+            FROM scored
+        """,
+        "cdc_merge": """
+            WITH ch AS (
+              SELECT (event_id % 60) * 11 AS doc_id,
+                     CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+                     ts, event_id, props AS text, event_type AS lang,
+                     'cdc' AS source, CAST(length(props) AS BIGINT) AS n_chars
+              FROM events
+            ), latest AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM ch) WHERE rn = 1
+            )
+            SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                   CASE WHEN c.op IS NOT NULL THEN c.text ELSE b.text END AS text,
+                   CASE WHEN c.op IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
+                   CASE WHEN c.op IS NOT NULL THEN c.source ELSE b.source END AS source,
+                   CASE WHEN c.op IS NOT NULL THEN c.n_chars ELSE b.n_chars END AS n_chars
+            FROM documents b FULL OUTER JOIN latest c USING (doc_id)
+            WHERE NOT (c.op IS NOT NULL AND c.op = 'D')
+        """,
+        "hll_distinct": hll_union,
         "parse_extract": """
             SELECT event_id, event_type,
                    TRY_CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')

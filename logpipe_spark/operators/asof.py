@@ -279,6 +279,82 @@ def cohort_retention(
     )
 
 
+def rate_anomaly(
+    events: DataFrame,
+    interval_s: int = 3600,
+    trailing: int = 24,
+    min_points: int = 8,
+    threshold: float = 3.0,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-rate anomaly detection: z-score of each time bucket's count
+    against the TRAILING ``trailing`` observed buckets of the same key
+    (frame excludes the current row, so a spike can't mask itself).
+
+    Returns (key, bucket, n, w, z, is_anomaly): ``w`` the number of
+    trailing buckets actually present (series head has fewer), ``z``
+    NULL until ``min_points`` of history exist or when the trailing
+    window is constant (zero variance).
+
+    Cross-engine exactness: the trailing sums S = Σn and Q = Σn² are
+    INTEGER window aggregates (no float accumulation order to disagree
+    on), and the population z-score folds into the single expression
+
+        z = (w·n − S) / sqrt(w·Q − S²)
+
+    — one IEEE division and one IEEE sqrt (both correctly rounded), so
+    the DuckDB oracle matches bit for bit. Integer overflow bound:
+    w·Q ≤ 2⁶³ holds while per-bucket counts stay under ~6·10⁸ at the
+    default trailing=24 — beyond that, widen to DECIMAL.
+
+    100 TB shape: the heavy reduction (raw events → per-bucket counts)
+    is a partial+final hash aggregate; the window then runs over the
+    BUCKETED series — one row per interval per key, calendar-bounded
+    (8 760 rows/key/year at hourly grain) no matter how many trillions
+    of raw events fed it. Key cardinality, not corpus size, sets the
+    window parallelism."""
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")) / interval_s
+    ).cast("long")
+    counts = (
+        events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    frame = (
+        Window.partitionBy("key").orderBy("bucket").rowsBetween(-trailing, -1)
+    )
+    s = F.sum("n").over(frame)
+    q = F.sum(F.col("n") * F.col("n")).over(frame)
+    w = F.count(F.lit(1)).over(frame)
+    with_stats = counts.select(
+        "key",
+        "bucket",
+        "n",
+        F.coalesce(w, F.lit(0)).cast("long").alias("w"),
+        s.alias("_s"),
+        q.alias("_q"),
+    )
+    var_num = F.col("w") * F.col("_q") - F.col("_s") * F.col("_s")
+    z = (
+        (F.col("w") * F.col("n") - F.col("_s")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    z_guarded = F.when(
+        (F.col("w") >= min_points) & (var_num > 0), z
+    )
+    return with_stats.select(
+        "key",
+        "bucket",
+        "n",
+        "w",
+        z_guarded.alias("z"),
+        (z_guarded.isNotNull() & (F.abs(z_guarded) > F.lit(threshold))).alias(
+            "is_anomaly"
+        ),
+    )
+
+
 def scd2_intervals(
     events: DataFrame,
     key_col: str = "user_id",

@@ -77,7 +77,14 @@ def test_graded_queries_have_no_scale_killers(spark):
     # ann_lsh_topk: same O(1)-row broadcasts (the 1-row query vector and
     # the 10-row planted-j table) — corpus side is scanned once, O(n)
     # skew_profile: top-k rows crossJoin a BROADCAST 1-row grand total
-    bnlj_ok = {"ann_cosine_topk", "ann_lsh_topk", "range_join", "skew_profile"}
+    # bm25_topk: corpus rows crossJoin a BROADCAST 1-row stats frame
+    bnlj_ok = {
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "range_join",
+        "skew_profile",
+        "bm25_topk",
+    }
     qs = entry_mod.queries()
     offenders = {}
     for name, fn in qs.items():
