@@ -355,6 +355,49 @@ def rate_anomaly(
     )
 
 
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event sequences:
+    (src, dst, n, ppm) where ppm is the integer parts-per-million share
+    of transitions leaving ``src`` (integer division — float-free, so
+    any engine mirrors it exactly). The standard behavioral-analytics
+    companion to :func:`funnel_steps`: the funnel checks ONE ordered
+    path, this measures ALL adjacent-step flows at once.
+
+    100 TB shape: one shuffle by key + per-key sort for the lead()
+    pairing (same price as sessionize/scd2), then a partial+final hash
+    aggregate on (src, dst) — output is |states|², tiny. The per-src
+    totals re-aggregate from the already-collapsed (src, dst) counts,
+    never from raw events."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(state_col).alias("src"),
+            F.col(ts_col),
+            F.col(order_col),
+        )
+        .withColumn("dst", F.lead("src").over(w))
+        .where(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 1000000) div _tot").cast("long").alias("ppm"),
+        )
+    )
+
+
 def scd2_intervals(
     events: DataFrame,
     key_col: str = "user_id",

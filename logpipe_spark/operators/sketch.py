@@ -135,6 +135,113 @@ def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     return hll_estimate(hll_registers(df, col, p), p)
 
 
+def cm_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch of a column: (i, pos, c) counter table, ≤ d·w
+    rows. Row i's hash is the shared md5 base hash under salt ``cm{i}:``
+    — the same engine-portable spec rule as the HLL above, so any engine
+    rebuilds identical counters. Mergeable by SUM on (i, pos).
+
+    100 TB shape: the d-way explode is map-side and the partial hash
+    aggregate collapses every partition to ≤ d·w counter rows before the
+    exchange — constant shuffle volume per partition regardless of input
+    size (the mergeable-sketch property again)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"bad sketch dims: depth={depth} width={width}")
+    s = F.col(col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (
+                    base_hash60(F.concat(F.lit(f"cm{i}:"), s)) % width
+                ).cast("int").alias("pos"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .select("r.i", "r.pos")
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_query(
+    sketch: DataFrame, values: list[str], depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate counts for ``values`` from a Count-Min sketch:
+    est(v) = min over rows i of counter[i][h_i(v)] (the classic
+    one-sided overestimate; missing counters read as 0). The probe set
+    is a tiny literal table joined against the ≤ d·w-row sketch —
+    nothing scales with the original corpus."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame(
+        [(v,) for v in values], "value string"
+    ).select(
+        "value",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("i"),
+    ).select(
+        "value",
+        "i",
+        (
+            base_hash60(
+                F.concat(
+                    # per-row salt must match cm_sketch's
+                    F.format_string("cm%d:", F.col("i")),
+                    F.col("value"),
+                )
+            )
+            % width
+        ).cast("int").alias("pos"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "pos"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def cm_oracle_sql(
+    table: str,
+    col: str,
+    values: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """DuckDB mirror of ``cm_query(cm_sketch(table.col), values)`` —
+    same md5 salt spec, same integer counters."""
+    probe_rows = ", ".join(
+        "('%s')" % v.replace("'", "''") for v in values
+    )
+    h = (
+        "CAST('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || ':' || s), 1, 15)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH ds AS (SELECT unnest(range({depth})) AS i),
+src AS (SELECT CAST({col} AS VARCHAR) AS s FROM {table}),
+sketch AS (
+    SELECT i, CAST({h} % {width} AS INTEGER) AS pos, COUNT(*) AS c
+    FROM src CROSS JOIN ds GROUP BY 1, 2
+),
+probes AS (
+    SELECT v.s AS value, ds.i,
+           CAST({h} % {width} AS INTEGER) AS pos
+    FROM (VALUES {probe_rows}) v(s) CROSS JOIN ds
+)
+SELECT value, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+FROM probes LEFT JOIN sketch USING (i, pos)
+GROUP BY value
+"""
+
+
 def hll_oracle_sql(
     table: str, col: str, p: int = 8
 ) -> str:

@@ -199,6 +199,84 @@ def test_hll_small_range_uses_linear_counting(spark):
     assert abs(row["estimate"] - 50) / 50 < 0.15
 
 
+def test_cm_sketch_point_estimates_upper_bound_and_exact_when_sparse(spark):
+    from logpipe_spark.operators.sketch import cm_query, cm_sketch
+
+    rows = [Row(s="a")] * 30 + [Row(s="b")] * 7 + [Row(s="c")]
+    df = spark.createDataFrame(rows)
+    sk = cm_sketch(df, "s", depth=4, width=1024)
+    est = {r["value"]: r["est"] for r in cm_query(
+        sk, ["a", "b", "c", "absent"], depth=4, width=1024
+    ).collect()}
+    # width 1024 with 3 distinct values: no collisions, estimates exact;
+    # absent value reads 0 (min over empty counters)
+    assert est == {"a": 30, "b": 7, "c": 1, "absent": 0}
+
+
+def test_cm_sketch_collision_overestimates_never_under(spark):
+    from logpipe_spark.operators.sketch import cm_query, cm_sketch
+
+    # width=2 forces collisions; CM may only overestimate
+    rows = [Row(s=f"v{i}") for i in range(40) for _ in range(i % 5 + 1)]
+    df = spark.createDataFrame(rows)
+    sk = cm_sketch(df, "s", depth=4, width=2)
+    truth = {}
+    for i in range(40):
+        truth[f"v{i}"] = i % 5 + 1
+    est = {r["value"]: r["est"] for r in cm_query(
+        sk, list(truth), depth=4, width=2
+    ).collect()}
+    assert all(est[v] >= truth[v] for v in truth)
+
+
+def test_cm_sketch_merges_by_sum(spark):
+    from logpipe_spark.operators.sketch import cm_sketch
+
+    a = spark.createDataFrame([Row(s="x")] * 5 + [Row(s="y")] * 2)
+    b = spark.createDataFrame([Row(s="x")] * 3 + [Row(s="z")])
+    merged = (
+        cm_sketch(a, "s").unionByName(cm_sketch(b, "s"))
+        .groupBy("i", "pos").agg(F.sum("c").alias("c"))
+    )
+    whole = cm_sketch(a.unionByName(b), "s")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_transition_matrix_hand_values(spark):
+    from logpipe_spark.operators.asof import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> a
+        Row(user_id=1, event_type="a", ts="2024-01-01 00:00:00", event_id=1),
+        Row(user_id=1, event_type="b", ts="2024-01-01 00:01:00", event_id=2),
+        Row(user_id=1, event_type="a", ts="2024-01-01 00:02:00", event_id=3),
+        Row(user_id=2, event_type="a", ts="2024-01-01 00:00:00", event_id=4),
+        Row(user_id=2, event_type="a", ts="2024-01-01 00:03:00", event_id=5),
+    ]
+    ev = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["src"], r["dst"]): (r["n"], r["ppm"]) for r in
+           transition_matrix(ev).collect()}
+    # src 'a' leaves twice: a->b (user1), a->a (user2); src 'b' once: b->a
+    assert out == {
+        ("a", "b"): (1, 500000),
+        ("a", "a"): (1, 500000),
+        ("b", "a"): (1, 1000000),
+    }
+
+
+def test_transition_matrix_never_crosses_users(spark):
+    from logpipe_spark.operators.asof import transition_matrix
+
+    rows = [
+        Row(user_id=1, event_type="a", ts="2024-01-01 00:00:00", event_id=1),
+        Row(user_id=2, event_type="b", ts="2024-01-01 00:01:00", event_id=2),
+    ]
+    ev = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert transition_matrix(ev).count() == 0
+
+
 def test_hll_register_values_match_pure_python(spark):
     import hashlib
 
