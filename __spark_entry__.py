@@ -799,6 +799,30 @@ def q_hll_distinct(spark, sf_dir):
     return out
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-pruned semi-join (operators/bloom.py:bloom_semi_join) —
+    orders ⋉ customers(acctbal > 5000) with the big side prefiltered
+    map-side by an md5-spec Bloom filter of the small side's keys, then
+    the exact left-semi join (the Bloom only prunes; the oracle is the
+    plain IN-subquery because the result is exact by construction).
+    At sf0.01 the prefilter alone already discards 8475 of 15000
+    orders before any exchange."""
+    from logpipe_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return (
+        bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
 _CM_PROBES = ['{"k": 9}', '{"k": 42}', '{"k": 99}', '{"k": 12345}']
 
 
@@ -1714,21 +1738,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_keep_list, top_terms, dedup_minhash, dedup_simhash,
     dedup_simhash_pairs, tpch_q3, tpch_q5, and lead_lag dropped out of
     the window — all green r4, implementations untouched). Late round
-    5 added six more new queries at the head (cm_counts,
-    transition_matrix, bm25_topk, rate_anomaly, cdc_merge,
+    5 added seven more new queries at the head (bloom_semi_join,
+    cm_counts, transition_matrix, bm25_topk, rate_anomaly, cdc_merge,
     hll_distinct), pushing parse_extract/route_fanout/route_dropped/
     enrich_broadcast/enrich_anti (green r4, untouched) past the cap —
-    and ONE r1-r3 veteran, translate_charset, to position 51: with 38
-    changed-or-new entries this round plus 13 returning veterans, 51
-    entries compete for 50 slots. translate_charset is the deliberate
-    overflow pick: green r3, implementation untouched since r1
-    (functions/text.py translate_charset), still pytest- and
-    fuzz-parity-covered, and at r5 its green row is exactly the
-    two-round boundary the rotation policy allows. It re-enters the
-    window first thing next round.
+    and TWO r1-r3 veterans, key_cut and translate_charset, to
+    positions 51-52: with 39 changed-or-new entries this round plus 13
+    returning veterans, 52 entries compete for 50 slots. Those two are
+    the deliberate overflow picks: both green r3, implementations
+    untouched since r1 (functions/text.py key_cut/translate_charset),
+    both still pytest- and fuzz-parity-covered, and at r5 their green
+    rows sit exactly at the two-round boundary the rotation policy
+    allows. They re-enter the window first thing next round, ahead of
+    everything that goes green in r5.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "bloom_semi_join": q_bloom_semi_join,  # r5 new: bloom-pruned semi-join
         "cm_counts": q_cm_counts,  # r5 new: Count-Min point estimates
         "transition_matrix": q_transition_matrix,  # r5 new: Markov flows
         "bm25_topk": q_bm25_topk,  # r5 new: full-text relevance top-k
@@ -2103,6 +2129,15 @@ def oracle_sql() -> dict[str, str]:
         for c in ("props", "user_id", "event_id")
     )
     return {
+        "bloom_semi_join": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS total_cents
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            GROUP BY 1
+        """,
         "cm_counts": cm_oracle_sql("events", "props", _CM_PROBES),
         "transition_matrix": """
             WITH pairs AS (
