@@ -738,7 +738,12 @@ def q_bm25_topk(spark, sf_dir):
     same parameters by bm25_oracle_sql, matches bit for bit."""
     from logpipe_spark.operators.search import bm25_topk
 
-    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+    # single-file sf input → spread before the per-term regexp tf pass
+    # (local-only crutch; a real scan has many splits)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
 def q_rate_anomaly(spark, sf_dir):
@@ -788,7 +793,11 @@ def q_hll_distinct(spark, sf_dir):
     or one division — value-hash-identical to the DuckDB mirror."""
     from logpipe_spark.operators.sketch import hll_distinct
 
-    ev = _t(spark, sf_dir, "events")
+    # single-file sf input → spread before the per-row md5 register
+    # derivation (local-only crutch; a real scan has many splits)
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     parts = [
         hll_distinct(ev.select(c), c).withColumn("col_name", F.lit(c))
         for c in ("props", "user_id", "event_id")
@@ -809,7 +818,12 @@ def q_bloom_semi_join(spark, sf_dir):
     orders before any exchange."""
     from logpipe_spark.operators.bloom import bloom_semi_join
 
-    orders = _t(spark, sf_dir, "orders")
+    # single-file sf input → spread before the per-row k-hash probe
+    # (local-only crutch, same as the heavy document queries; a real scan
+    # has many splits)
+    orders = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     rich = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
     return (
         bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
@@ -835,7 +849,11 @@ def q_cm_counts(spark, sf_dir):
     shared md5 salt spec — the DuckDB mirror rebuilds them exactly."""
     from logpipe_spark.operators.sketch import cm_query, cm_sketch
 
-    ev = _t(spark, sf_dir, "events")
+    # single-file sf input → spread before the d-row md5 explode
+    # (local-only crutch; a real scan has many splits)
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return cm_query(cm_sketch(ev, "props"), _CM_PROBES)
 
 

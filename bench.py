@@ -353,7 +353,9 @@ def main() -> None:
         "neardup_keep_best", "incremental_dedup", "quantile_buckets",
         "corpus_diff", "split_leak_check", "tpch_q1", "incremental_neardup",
         "dsir_scores", "gapfill", "session_windows", "funnel",
-        "cohort_retention", "scd2", "hopping_window",
+        "cohort_retention", "scd2", "hopping_window", "bm25_topk",
+        "rate_anomaly", "cdc_merge", "hll_distinct", "bloom_semi_join",
+        "cm_counts", "transition_matrix",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:
