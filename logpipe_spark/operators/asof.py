@@ -443,3 +443,46 @@ def scd2_intervals(
             F.col("_to").isNull().alias("is_current"),
         )
     )
+
+
+def sequence_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Top sequential n-gram patterns over per-key ordered event streams:
+    the ``n``-step generalization of :func:`transition_matrix` (which is
+    the n=2 row of this). Returns (g0..g{n-1}, cnt) for the ``top_k`` most
+    frequent length-``n`` state runs, ordered by (cnt DESC, g0..g{n-1} ASC)
+    — "which tool-call / event chains dominate the transcripts".
+
+    100 TB shape: the lead() chain rides ONE shuffle by key + per-key sort
+    (the same exchange sessionize/scd2/transition_matrix already pay — in
+    a real pipeline these share it), the gram counts collapse in a partial
+    +final hash aggregate keyed on at most |states|^n values, and top_k is
+    TakeOrderedAndProject (per-partition heap, never a global sort)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2: {n}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    grams = events.select(
+        F.col(state_col).alias("g0"),
+        *[
+            F.lead(state_col, i).over(w).alias(f"g{i}")
+            for i in range(1, n)
+        ],
+    ).where(F.col(f"g{n-1}").isNotNull())
+    gram_cols = [f"g{i}" for i in range(n)]
+    return (
+        grams.groupBy(*gram_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(
+            F.col("cnt").desc(), *[F.col(c).asc() for c in gram_cols]
+        )
+        .limit(top_k)
+    )

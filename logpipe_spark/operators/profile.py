@@ -83,3 +83,79 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_s",
         "max_s",
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-group top-``k`` rows by (``order_col`` DESC, ``id_col`` ASC)
+    WITHOUT a per-group window sort. Returns (group, rnk, id, order value),
+    rnk 1-based. Rows with a NULL order value are ignored (they can never
+    rank), and ties are broken by id so the result is a unique set.
+
+    Why not ``row_number`` over a window: Window.partitionBy(group) sorts
+    EVERY row of a group inside one task — the same one-task-per-group
+    cliff quota_sample's docstring warns about. Here both phases are hash
+    AGGREGATES with bounded state (≤ k rows per key held in the partial
+    buffer after the sort/slice), so a group 1000× the median just spreads
+    across its salt buckets:
+
+      phase 1: groupBy(group, md5-salt of id) → sorted top-k per bucket
+      phase 2: groupBy(group) → merge the ≤ salt_buckets slices, re-slice k
+
+    The merge input per group is ≤ salt_buckets·k rows — driver-math-free
+    and skew-immune for any k·salt_buckets that fits a task (the usual
+    top-10/top-100 regime). Deterministic: the md5 salt and the
+    (value DESC, id ASC) comparator are data-derived, so repartitioning
+    cannot change the answer."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1: {salt_buckets}")
+
+    def _cmp(left: Column, right: Column) -> Column:
+        lo, ro = left["o"], right["o"]
+        li, ri = left["i"], right["i"]
+        return (
+            F.when(lo > ro, F.lit(-1))
+            .when(lo < ro, F.lit(1))
+            .when(li < ri, F.lit(-1))
+            .when(li > ri, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    item = F.struct(F.col(order_col).alias("o"), F.col(id_col).alias("i"))
+    salt = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % salt_buckets
+    )
+    part = (
+        df.where(F.col(order_col).isNotNull())
+        .select(F.col(group_col), salt.alias("_salt"), item.alias("_it"))
+        .groupBy(group_col, "_salt")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_it"), _cmp), 1, k).alias(
+                "_top"
+            )
+        )
+    )
+    merged = part.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_top")), _cmp), 1, k
+        ).alias("_top")
+    )
+    return merged.select(
+        F.col(group_col),
+        F.posexplode("_top").alias("_pos", "_it"),
+    ).select(
+        group_col,
+        (F.col("_pos") + 1).cast("long").alias("rnk"),
+        F.col("_it.i").alias(id_col),
+        F.col("_it.o").alias(order_col),
+    )

@@ -184,3 +184,133 @@ WHERE {matched}
 ORDER BY score DESC, {id_col} ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index + conjunctive boolean retrieval
+# ---------------------------------------------------------------------------
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the index's bucket expression: the first 4 hex
+    chars of md5(term) mod n_buckets. md5 is byte-identical across Python,
+    Spark, and DuckDB, so the three agree on every term's shard."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:4], 16) % n_buckets
+
+
+def write_inverted_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a term-sharded inverted index: posting rows
+    (term, id, tf, dl) written **partitioned by a term-hash bucket**, so a
+    query touches only the shards its terms live in — Spark partition
+    pruning drops the other directories from the file listing before any
+    IO (same layout discipline as similarity.write_lsh_index). The ES
+    consumer the reference ships lines to (`logpipe-output-es.c`) builds
+    exactly this structure server-side; here it is a first-class table.
+
+    Build cost: one explode + one (term, id) hash aggregate — the partial
+    aggregate combines map-side, so the shuffle carries collapsed postings,
+    not raw tokens. The bucket repartition keys on 2^~6 values and writes
+    one file per shard directory; keep n_buckets ≤ ~1024 at 100 TB and let
+    max_records_per_file split the hot shards."""
+    if n_buckets < 1 or n_buckets > 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536]: {n_buckets}")
+    toks = _tokens(F.col(text_col))
+    posting = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")  # dl is functionally dependent on id
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10)
+                .cast("long")
+                % n_buckets
+            ),
+        )
+    )
+    (
+        posting.repartition(F.col("bucket"))
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def search_conjunctive(
+    spark,
+    path: str,
+    terms: list[str],
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """AND-of-terms retrieval against a :func:`write_inverted_index` table:
+    returns (id, total_tf, dl) for documents containing EVERY query term.
+    The scan filters ``bucket IN (...)`` — a partition-column predicate
+    that prunes untouched shard directories (asserted by numFiles metric in
+    tests) — plus a pushed ``term IN (...)`` row filter; the surviving
+    postings hash-aggregate by document (count == |terms| ⇒ all present).
+    Only posting rows for the query terms ever cross the exchange — the
+    corpus itself is never read."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    terms = sorted(set(terms))
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    idx = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    return (
+        idx.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nt"),  # (term, id) unique in the index
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.max("dl").cast("long").alias("dl"),
+        )
+        .where(F.col("_nt") == len(terms))
+        .select(id_col, "total_tf", "dl")
+    )
+
+
+def conjunctive_oracle_sql(
+    terms: list[str],
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`search_conjunctive` — computed DIRECTLY from
+    the corpus (no index), so a green row proves the persisted index and
+    its pruned scan reproduce the ground-truth boolean semantics."""
+    terms = sorted(set(terms))
+    tf_exprs = ",\n        ".join(
+        "CAST(len(list_filter(toks, x -> x = '%s')) AS BIGINT) AS tf_%d"
+        % (t.replace("'", "''"), i)
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    allp = " AND ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+        list_filter(string_split(lower({text_col}), ' '), x -> x <> '') AS toks
+    FROM {table}
+), tf AS (
+    SELECT {id_col}, CAST(len(toks) AS BIGINT) AS dl,
+        {tf_exprs}
+    FROM toks
+)
+SELECT {id_col}, CAST({total} AS BIGINT) AS total_tf, dl
+FROM tf WHERE {allp}
+"""
