@@ -355,7 +355,8 @@ def main() -> None:
         "dsir_scores", "gapfill", "session_windows", "funnel",
         "cohort_retention", "scd2", "hopping_window", "bm25_topk",
         "rate_anomaly", "cdc_merge", "hll_distinct", "bloom_semi_join",
-        "cm_counts", "transition_matrix",
+        "cm_counts", "transition_matrix", "pagerank", "inverted_search",
+        "grouped_topk", "seq_ngrams",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:
