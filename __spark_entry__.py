@@ -959,6 +959,26 @@ def q_seq_ngrams(spark, sf_dir):
     return sequence_ngrams(_t(spark, sf_dir, "events"), n=3, top_k=20)
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe corpus split (operators/corpus.py:cluster_split):
+    near-dup components (star CC over Jaccard-0.8 pairs — same pair rule
+    as neardup_keep_best) become the split unit, so near-duplicate
+    content can never straddle train/val/test; singletons hash on their
+    own id. Oracle: recursive-CTE components + the md5 bucket CASE."""
+    from logpipe_spark.operators.corpus import cluster_split
+
+    docs = _t(spark, sf_dir, "documents")
+    # single-file sf input: spread before the heavy shingle self-join
+    # (a real deployment's scan has many splits)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    pairs = ngram_jaccard_pairs(spread, n=3, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    return cluster_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split_group", "split")
+
+
 def q_scd2(spark, sf_dir):
     """SCD2 dimension history (operators/asof.py:scd2_intervals) —
     per-user event_type treated as a changing attribute: consecutive
@@ -1862,16 +1882,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allows. They re-enter the window first thing next round, ahead of
     everything that goes green in r5.
 
-    Final r5 additions (pagerank, inverted_search, grouped_topk,
-    seq_ngrams) take the head, pushing four more r3-green veterans —
-    tokenize_fields, template_project, template_missing_fields,
-    orderby_limit — past the cap under the same rule: new code MUST be
-    driver-checked, while unchanged r3-green veterans tolerate one more
-    round and rotate back in first thing in r6 (they stay pytest- and
-    fuzz-parity-covered meanwhile).
+    Final r5 additions (cluster_split, pagerank, inverted_search,
+    grouped_topk, seq_ngrams) take the head, pushing five more r3-green
+    veterans — grep_filter, tokenize_fields, template_project,
+    template_missing_fields, orderby_limit — past the cap under the same
+    rule: new code MUST be driver-checked, while unchanged r3-green
+    veterans tolerate one more round and rotate back in first thing in
+    r6 (they stay pytest- and fuzz-parity-covered meanwhile).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "cluster_split": q_cluster_split,  # r5 new: leakage-safe CC split
         "pagerank": q_pagerank,  # r5 new: fixed-point weighted PageRank
         "inverted_search": q_inverted_search,  # r5 new: persisted posting index
         "grouped_topk": q_grouped_topk,  # r5 new: skew-safe top-k per group
@@ -2283,6 +2304,40 @@ def oracle_sql() -> dict[str, str]:
             ), totals AS (SELECT src, SUM(n) AS tot FROM counts GROUP BY 1)
             SELECT src, dst, n, CAST((n * 1000000) // tot AS BIGINT) AS ppm
             FROM counts JOIN totals USING (src)
+        """,
+        "cluster_split": _ngram_pairs_cte().replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+        , sym AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ), cnodes AS (
+          SELECT DISTINCT a AS n FROM sym
+        ), reach(src, dst) AS (
+          SELECT n, n FROM cnodes
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+        ), comp AS (
+          SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+        ), lab AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
+                     AS split_group
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, split_group,
+               CASE
+                 WHEN CAST('0x' || substr(md5('split:' ||
+                      CAST(split_group AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 10000 < 8000 THEN 'train'
+                 WHEN CAST('0x' || substr(md5('split:' ||
+                      CAST(split_group AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 10000 < 9000 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM lab
         """,
         "pagerank": _pagerank_oracle(),
         "inverted_search": _conjunctive_oracle(),

@@ -10,8 +10,9 @@ the exact join so the RESULT is precisely the semi-join — the Bloom only
 prunes, it never decides. That's also why the contract oracle is a plain
 ``WHERE key IN (...)``: approximate plumbing, exact semantics.
 
-Portability: bit positions come from the shared md5 spec
-(``base_hash60`` under salts ``bf{i}:``), words are 32-bit so every mask
+Portability: bit positions come from the shared md5 spec — ONE md5 under
+salt ``bf:`` split into two 60-bit halves driving Kirsch–Mitzenmacher
+double hashing (see ``_positions``) — and words are 32-bit so every mask
 stays positive in engines without unsigned 64-bit shifts. Like the
 HLL/Count-Min sketches in `operators/sketch.py`, the filter is a TABLE
 ((word, bits) rows) mergeable by OR — persistable next to the snapshot
@@ -27,17 +28,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from logpipe_spark.operators.dedup import base_hash60
-
 #: refuse to build filters the driver shouldn't hold (64 MB of words).
 MAX_BLOOM_BITS = 1 << 29
 
 
 def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
-    return [
-        base_hash60(F.concat(F.lit(f"bf{i}:"), col.cast("string"))) % m_bits
-        for i in range(k)
-    ]
+    """Kirsch–Mitzenmacher double hashing: ONE md5 yields two independent
+    60-bit halves (hex chars 1-15 and 16-30), and position i is
+    (h1 + i·h2') mod m with h2' = (2·h2 + 1) mod m — the odd stride keeps
+    the probe sequence non-degenerate on power-of-two m. Same FP behavior
+    as k independent hashes (Kirsch & Mitzenmacher, ESA'06) at 1/k the
+    hash cost; overflow-safe because both operands are reduced mod
+    m ≤ 2^29 before the multiply. Engine-portable: any SQL engine
+    reproduces it from md5/substr/CAST."""
+    hx = F.md5(F.concat(F.lit("bf:"), col.cast("string")))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % m_bits
+    h2 = (
+        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long") * 2 + 1
+    ) % m_bits
+    return [(h1 + i * h2) % m_bits for i in range(k)]
 
 
 def build_bloom(

@@ -829,3 +829,46 @@ def split_leak_check(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split unit is the
+    NEAR-DUP CLUSTER, not the document. ``hash_split`` alone guarantees a
+    stable per-key split, but near-duplicate content under different keys
+    still straddles splits (exactly what split_leak_check detects after
+    the fact); here the connected components of the ``pairs`` graph are
+    labeled first and the split hash is taken over the component id, so
+    every member of a cluster — and therefore every near-duplicate — lands
+    in the SAME split by construction. Singleton docs use their own key
+    (component = min id of the cluster, so an unpaired doc's group is
+    itself, keeping assignments stable as pairs appear elsewhere).
+
+    Returns docs + (split_group, split). 100 TB shape: the component
+    labels come from the large-star/small-star alternation (id-only
+    shuffles, O(log^2 n) rounds), the docs⋈labels join is keyed on the
+    doc id, and the split itself is a map-side md5 expression — no new
+    shuffle class beyond what dedup already pays."""
+    from logpipe_spark.operators.dedup import connected_components_star
+
+    comp = connected_components_star(pairs, a_col=a_col, b_col=b_col)
+    labeled = (
+        docs.alias("d")
+        .join(comp, F.col(f"d.{key_col}") == comp.node, "left")
+        .select(
+            "d.*",
+            F.coalesce(
+                F.col("component"), F.col(f"d.{key_col}").cast("long")
+            ).alias("split_group"),
+        )
+    )
+    return hash_split(
+        labeled, fractions, key_col="split_group", salt=salt
+    )

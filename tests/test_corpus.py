@@ -603,3 +603,56 @@ def test_corpus_funnel_invariants(spark):
     assert f["input"] > f["temperature_mix"] > 0
     assert 0 < f["packed_bins"] <= f["chunks"]
     assert f["shuffled"] == f["temperature_mix"]
+
+
+class TestClusterSplit:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_near_dups_never_straddle_splits(self, spark):
+        from logpipe_spark.operators.corpus import cluster_split
+
+        docs = self._docs(
+            spark, [(i, f"doc {i}") for i in range(30)]
+        )
+        # chain 0-1-2 and pair 10-11 are clusters; the rest singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+        )
+        out = cluster_split(
+            docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        got = {r["doc_id"]: (r["split_group"], r["split"]) for r in out.collect()}
+        assert got[0] == got[1] == got[2]  # whole chain together
+        assert got[10] == got[11]
+        assert got[0][0] == 0 and got[10][0] == 10  # component = min id
+
+    def test_singletons_match_hash_split(self, spark):
+        from logpipe_spark.operators.corpus import cluster_split, hash_split
+
+        docs = self._docs(spark, [(i, f"doc {i}") for i in range(50)])
+        empty = spark.createDataFrame([], "doc_a long, doc_b long")
+        out = {
+            r["doc_id"]: r["split"]
+            for r in cluster_split(docs, empty).collect()
+        }
+        want = {
+            r["doc_id"]: r["split"] for r in hash_split(docs).collect()
+        }
+        assert out == want
+
+    def test_assignments_stable_under_corpus_growth(self, spark):
+        from logpipe_spark.operators.corpus import cluster_split
+
+        pairs = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
+        small = self._docs(spark, [(i, f"d{i}") for i in range(10)])
+        big = self._docs(spark, [(i, f"d{i}") for i in range(20)])
+        a = {
+            r["doc_id"]: (r["split_group"], r["split"])
+            for r in cluster_split(small, pairs).collect()
+        }
+        b = {
+            r["doc_id"]: (r["split_group"], r["split"])
+            for r in cluster_split(big, pairs).collect()
+        }
+        assert all(b[k] == v for k, v in a.items())
