@@ -979,6 +979,73 @@ def q_cluster_split(spark, sf_dir):
     ).select("doc_id", "split_group", "split")
 
 
+def _planted_url(ev_alias: str = "") -> "Column":
+    """Deterministic crawl-URL column planted from events (the fixture
+    tables carry no URLs — same planting pattern as q_pii_redact, with
+    the identical CASE in the oracle SQL). Five shapes: an exact-host
+    blocklist hit, a subdomain hit with query params, two clean hosts,
+    and a deep-subdomain hit."""
+    eid = F.col("event_id")
+    uid = F.col("user_id").cast("string")
+    return (
+        F.when(eid % 5 == 0,
+               F.concat(F.lit("https://spam.example.com/promo/"), uid))
+        .when(eid % 5 == 1,
+              F.concat(F.lit("http://ads.tracker.net/px?u="), uid,
+                       F.lit("&c=3")))
+        .when(eid % 5 == 2, F.lit("https://docs.good.org/kb/a/b?q=1"))
+        .when(eid % 5 == 3, F.lit("https://good.org/"))
+        .otherwise(F.lit("http://deep.x.ads.tracker.net/z"))
+    )
+
+
+def q_url_filter(spark, sf_dir):
+    """URL hygiene (operators/urls.py): domain-blocklist filtering with
+    SUFFIX semantics (C4/RefinedWeb's first corpus gate) + URL feature
+    extraction. The filter is a chain of broadcast hash ANTI joins — one
+    per suffix depth, equality keys only, corpus never shuffled; the
+    features are one fused regexp chain. Blocklist {tracker.net,
+    spam.example.com} drops the exact host, a subdomain, and a deep
+    subdomain; the oracle mirrors suffix matching with NOT EXISTS
+    (host = d OR host LIKE '%.' || d)."""
+    from logpipe_spark.operators.urls import (
+        url_blocklist_filter, url_features,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", _planted_url().alias("url")
+    )
+    bl = spark.createDataFrame(
+        [("tracker.net",), ("spam.example.com",)], "domain string"
+    )
+    kept = url_blocklist_filter(ev, bl)
+    return url_features(kept).select(
+        "event_id", "host", "domain",
+        F.col("path_depth").cast("long").alias("path_depth"),
+        F.col("n_params").cast("long").alias("n_params"),
+        F.col("is_https").cast("long").alias("is_https"),
+    )
+
+
+def q_classifier_score(spark, sf_dir):
+    """Hashed linear quality classifier (operators/classify.py) — the
+    fasttext-style corpus gate, JVM-expression mode: unigram+bigram
+    hashing into 4096 buckets, md5-derived deterministic weights, one
+    aggregate LEFT FOLD per doc (float addition order is part of the
+    contract; the oracle folds an ordinality-ordered list the same way).
+    Map-only plan, zero Exchange. The broadcast-weights pandas-UDF
+    production path is bit-equal by test (tests/test_classify.py)."""
+    from logpipe_spark.operators.classify import classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_score(docs, buckets=4096).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "score",
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 def q_scd2(spark, sf_dir):
     """SCD2 dimension history (operators/asof.py:scd2_intervals) —
     per-user event_type treated as a changing attribute: consecutive
@@ -1882,16 +1949,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allows. They re-enter the window first thing next round, ahead of
     everything that goes green in r5.
 
-    Final r5 additions (cluster_split, pagerank, inverted_search,
-    grouped_topk, seq_ngrams) take the head, pushing five more r3-green
-    veterans — grep_filter, tokenize_fields, template_project,
+    Final r5 additions (url_filter, classifier_score, cluster_split,
+    pagerank, inverted_search, grouped_topk, seq_ngrams) take the head,
+    pushing seven more r3-green veterans — range_join, percentiles,
+    grep_filter, tokenize_fields, template_project,
     template_missing_fields, orderby_limit — past the cap under the same
-    rule: new code MUST be driver-checked, while unchanged r3-green
+    rule: new code MUST be driver-checked, while unchanged green
     veterans tolerate one more round and rotate back in first thing in
     r6 (they stay pytest- and fuzz-parity-covered meanwhile).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "url_filter": q_url_filter,  # r5 new: blocklist suffix anti-joins
+        "classifier_score": q_classifier_score,  # r5 new: hashed linear QC
         "cluster_split": q_cluster_split,  # r5 new: leakage-safe CC split
         "pagerank": q_pagerank,  # r5 new: fixed-point weighted PageRank
         "inverted_search": q_inverted_search,  # r5 new: persisted posting index
@@ -2338,6 +2408,102 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'test'
                END AS split
         FROM lab
+        """,
+        "url_filter": """
+            -- planted URLs (same CASE as the Spark side), suffix-semantic
+            -- blocklist via NOT EXISTS(= OR LIKE '%.'||d) — equivalent to
+            -- the operator's per-depth anti-join chain for hosts ≤ 5
+            -- labels (all planted hosts are); features from the SAME
+            -- RE2-safe regexes. The PSL 3-label branch of
+            -- registered_domain is pytest-covered, not planted here.
+            WITH u AS (
+              SELECT event_id,
+                     CASE
+                       WHEN event_id % 5 = 0 THEN
+                         'https://spam.example.com/promo/' ||
+                         CAST(user_id AS VARCHAR)
+                       WHEN event_id % 5 = 1 THEN
+                         'http://ads.tracker.net/px?u=' ||
+                         CAST(user_id AS VARCHAR) || '&c=3'
+                       WHEN event_id % 5 = 2 THEN
+                         'https://docs.good.org/kb/a/b?q=1'
+                       WHEN event_id % 5 = 3 THEN 'https://good.org/'
+                       ELSE 'http://deep.x.ads.tracker.net/z'
+                     END AS url
+              FROM events
+            ), f AS (
+              SELECT event_id, url,
+                     lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                     COALESCE(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+                       '') AS path,
+                     COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+              FROM u
+            ), bl(domain) AS (
+              VALUES ('tracker.net'), ('spam.example.com')
+            ), kept AS (
+              SELECT * FROM f WHERE NOT EXISTS (
+                SELECT 1 FROM bl b
+                WHERE f.host = b.domain OR f.host LIKE '%.' || b.domain
+              )
+            )
+            SELECT event_id, host,
+                   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                        ELSE array_to_string(
+                          (string_split(host, '.'))[
+                            len(string_split(host, '.')) - 1 :], '.')
+                   END AS domain,
+                   CAST(len(list_filter(string_split(path, '/'),
+                        x -> x <> '')) AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN q = '' THEN 0
+                        ELSE len(string_split(q, '&')) END AS BIGINT)
+                     AS n_params,
+                   CAST(CASE WHEN lower(url) LIKE 'https://%' THEN 1
+                        ELSE 0 END AS BIGINT) AS is_https
+            FROM kept
+        """,
+        "classifier_score": """
+            -- hashed linear classifier: md5-bucketed unigram+bigram
+            -- weights in [-1,1], position-ordered list_reduce LEFT FOLD
+            -- (0.0 + v1 == v1 exactly, so the missing init is identity);
+            -- same fold order as Spark's aggregate → bit-equal doubles
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ), gr AS (
+              SELECT doc_id,
+                     t || CASE WHEN len(t) >= 2
+                               THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || '_' || t[i + 1])
+                               ELSE [] END AS gs
+              FROM toks
+            ), pos AS (
+              SELECT doc_id, unnest(gs) AS g,
+                     generate_subscripts(gs, 1) AS p
+              FROM gr
+            ), w AS (
+              SELECT doc_id, p,
+                     CAST(CAST('0x' || substr(md5('w:' || CAST(
+                         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                         % 4096 AS VARCHAR)), 1, 15) AS BIGINT) % 20001
+                       - 10000 AS DOUBLE) / 10000 AS v
+              FROM pos
+            ), agg AS (
+              SELECT doc_id,
+                     list_reduce(list(v ORDER BY p), (a, b) -> a + b) AS s,
+                     COUNT(*) AS n
+              FROM w GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(a.n, 0) AS BIGINT) AS n_grams,
+                   COALESCE(a.s / a.n, 0.0) AS score,
+                   CAST(CASE WHEN COALESCE(a.s / a.n, 0.0) > 0.0
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM toks t LEFT JOIN agg a USING (doc_id)
         """,
         "pagerank": _pagerank_oracle(),
         "inverted_search": _conjunctive_oracle(),

@@ -356,7 +356,8 @@ def main() -> None:
         "cohort_retention", "scd2", "hopping_window", "bm25_topk",
         "rate_anomaly", "cdc_merge", "hll_distinct", "bloom_semi_join",
         "cm_counts", "transition_matrix", "pagerank", "inverted_search",
-        "grouped_topk", "seq_ngrams", "cluster_split",
+        "grouped_topk", "seq_ngrams", "cluster_split", "url_filter",
+        "classifier_score",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

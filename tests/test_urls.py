@@ -1,0 +1,101 @@
+"""URL feature extraction + blocklist filtering (operators/urls.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.urls import (
+    host_suffixes,
+    url_blocklist_filter,
+    url_features,
+)
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+
+
+class TestUrlFeatures:
+    def test_feature_extraction(self, spark):
+        df = _urls(spark, [
+            "https://docs.example.com/a/b/c?x=1&y=2",
+            "http://EXAMPLE.co.uk/",
+            "https://single",
+            "http://ads.tracker.net:8080/p?q=#frag",
+        ])
+        rows = {r["id"]: r for r in url_features(df).collect()}
+        r0 = rows[0]
+        assert (r0["host"], r0["domain"]) == ("docs.example.com", "example.com")
+        assert (r0["path_depth"], r0["n_params"], r0["is_https"]) == (3, 2, True)
+        r1 = rows[1]
+        # public second-level suffix: registrable domain keeps 3 labels
+        assert (r1["host"], r1["domain"]) == ("example.co.uk", "example.co.uk")
+        assert (r1["path_depth"], r1["n_params"], r1["is_https"]) == (0, 0, False)
+        r2 = rows[2]
+        assert (r2["host"], r2["domain"], r2["path_depth"]) == ("single", "single", 0)
+        r3 = rows[3]
+        # port stripped from host; fragment excluded from query
+        assert (r3["host"], r3["domain"]) == ("ads.tracker.net", "tracker.net")
+        assert (r3["path_depth"], r3["n_params"]) == (1, 1)
+
+    def test_host_suffixes(self, spark):
+        df = spark.range(1).select(
+            host_suffixes(F.lit("a.b.example.com")).alias("s"),
+            host_suffixes(F.lit("x")).alias("one"),
+        )
+        r = df.collect()[0]
+        assert r["s"] == ["a.b.example.com", "b.example.com", "example.com"]
+        assert r["one"] == []  # no ≥2-label parent of a bare label
+
+
+class TestBlocklistFilter:
+    def _bl(self, spark, domains):
+        return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+    def test_suffix_semantics(self, spark):
+        df = _urls(spark, [
+            "https://tracker.net/a",            # exact domain hit
+            "https://ads.tracker.net/b",        # subdomain hit
+            "https://deep.x.ads.tracker.net/c",  # deep subdomain hit
+            "https://nottracker.net/d",          # NOT a suffix match
+            "https://tracker.net.evil.org/e",    # prefix, not suffix: keep
+            "https://good.org/f",
+        ])
+        bl = self._bl(spark, ["tracker.net"])
+        kept = sorted(
+            r["id"] for r in url_blocklist_filter(df, bl).collect()
+        )
+        assert kept == [3, 4, 5]
+
+    def test_exact_host_entry_and_case(self, spark):
+        df = _urls(spark, [
+            "https://spam.example.com/x",
+            "https://SPAM.Example.COM/y",
+            "https://sub.spam.example.com/z",
+            "https://example.com/w",  # parent of the entry: keep
+        ])
+        bl = self._bl(spark, ["Spam.Example.Com"])
+        kept = sorted(
+            r["id"] for r in url_blocklist_filter(df, bl).collect()
+        )
+        assert kept == [3]
+
+    def test_plan_is_broadcast_only(self, spark):
+        df = _urls(spark, ["https://a.example.com/x"])
+        bl = self._bl(spark, ["blocked.org"])
+        plan = (
+            url_blocklist_filter(df, bl)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_empty_blocklist_keeps_all(self, spark):
+        df = _urls(spark, ["https://a.com/x", "https://b.org/y"])
+        bl = self._bl(spark, []).filter(F.lit(False))
+        assert url_blocklist_filter(df, bl).count() == 2
