@@ -415,3 +415,129 @@ def test_session_window_stream_matches_batch(spark, transcripts_pdf, tmp_path):
     assert set(emitted) <= set(exp)
     for k, v in emitted.items():
         assert v == exp[k], k
+
+
+def _evt_pdf(rows):
+    """rows: [(key, ts_str, val)] → parquet-ready events frame."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                "datetime64[us]"
+            ),
+            "val": [r[2] for r in rows],
+        }
+    )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner interval join (streaming/join.py): requests
+    joined to responses within 10 minutes, both sides arriving across
+    multiple micro-batches — the emitted set equals the batch join
+    exactly (unified semantics: nothing is late here)."""
+    import time as _time
+
+    from logpipe_spark.streaming.join import stream_interval_join
+
+    reqs = [("a", "2026-01-01 10:00", 1), ("a", "2026-01-01 10:20", 2),
+            ("b", "2026-01-01 10:05", 3), ("c", "2026-01-01 10:00", 4)]
+    # a@10:07 matches req1 only; a@10:25 matches req2; b@10:30 outside
+    # interval of b@10:05; d unmatched key
+    rsps = [("a", "2026-01-01 10:07", 11), ("a", "2026-01-01 10:25", 12),
+            ("b", "2026-01-01 10:30", 13), ("d", "2026-01-01 10:06", 14)]
+
+    lsrc, rsrc = tmp_path / "lsrc", tmp_path / "rsrc"
+    lsrc.mkdir(); rsrc.mkdir()
+    for i in range(2):  # split each side into two files → several batches
+        _evt_pdf(reqs[i * 2:(i + 1) * 2]).to_parquet(
+            lsrc / f"l{i}.parquet", index=False)
+        _evt_pdf(rsps[i * 2:(i + 1) * 2]).to_parquet(
+            rsrc / f"r{i}.parquet", index=False)
+        _time.sleep(0.05)
+
+    schema = "k string, ts timestamp, val long"
+    mk = lambda d: (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = tmp_path / "out"
+    q = (
+        stream_interval_join(mk(lsrc), mk(rsrc), on=["k"],
+                             within_minutes=10, watermark_minutes=60)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(out / "_ckpt"))
+        .trigger(availableNow=True)
+        .start(str(out / "data"))
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(
+        (r["k"], r["val"], r["val_r"])
+        for r in spark.read.parquet(str(out / "data")).collect()
+    )
+    batch = stream_interval_join(
+        spark.createDataFrame(_evt_pdf(reqs), schema),
+        spark.createDataFrame(_evt_pdf(rsps), schema),
+        on=["k"], within_minutes=10, watermark_minutes=60,
+    )
+    want = sorted((r["k"], r["val"], r["val_r"]) for r in batch.collect())
+    assert got == want == [("a", 1, 11), ("a", 2, 12)]
+
+
+def test_stream_stream_left_outer_flushes_on_watermark(spark, tmp_path):
+    """left_outer emission: an unmatched request is emitted with NULL
+    right columns once the RIGHT watermark passes its interval — proven
+    by a far-future right-side sentinel in the last file; the matched
+    pair is emitted too, and validation rejects bad join types."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from logpipe_spark.streaming.join import stream_interval_join
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        stream_interval_join(
+            spark.range(1), spark.range(1), on=["id"], how="full")
+    with _pytest.raises(ValueError, match="equi-key"):
+        stream_interval_join(spark.range(1), spark.range(1), on=[])
+
+    lsrc, rsrc = tmp_path / "lsrc", tmp_path / "rsrc"
+    lsrc.mkdir(); rsrc.mkdir()
+    _evt_pdf([("a", "2026-01-01 10:00", 1),
+              ("b", "2026-01-01 10:00", 2)]).to_parquet(
+        lsrc / "l0.parquet", index=False)
+    _evt_pdf([("a", "2026-01-01 10:05", 11)]).to_parquet(
+        rsrc / "r0.parquet", index=False)
+    _time.sleep(0.05)
+    # sentinels advance BOTH event clocks far beyond watermark + interval
+    # (the stream-stream watermark is the MIN across inputs — a stalled
+    # left clock would hold the global watermark at 09:50 forever) so
+    # b@10:00's outer row can flush before the stream ends
+    _evt_pdf([("zz", "2026-01-02 00:00", 99)]).to_parquet(
+        rsrc / "r1.parquet", index=False)
+    _evt_pdf([("zy", "2026-01-02 00:00", 98)]).to_parquet(
+        lsrc / "l1.parquet", index=False)
+
+    schema = "k string, ts timestamp, val long"
+    mk = lambda d: (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = tmp_path / "out"
+    q = (
+        stream_interval_join(mk(lsrc), mk(rsrc), on=["k"],
+                             within_minutes=10, watermark_minutes=10,
+                             how="left_outer")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(out / "_ckpt"))
+        .trigger(availableNow=True)
+        .start(str(out / "data"))
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(
+        (r["k"], r["val"], r["val_r"])
+        for r in spark.read.parquet(str(out / "data")).collect()
+    )
+    assert ("a", 1, 11) in got
+    assert ("b", 2, None) in got
