@@ -1046,6 +1046,24 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle counting (operators/graph.py:triangle_count) with
+    the degree-orientation plan: canonical edges oriented low→high
+    (deg, node), wedge self-join on the oriented source (out-degree
+    bounded O(sqrt m) — hub-proof), one equi-join closes wedges into
+    triangles. Graph planted from events with BIGINT-only arithmetic
+    (a = event_id mod 50, b = (7·event_id + user_id) mod 50) — identical
+    construction in the oracle; all shuffles move (id, id) pairs."""
+    from logpipe_spark.operators.graph import triangle_count
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("event_id") % 50).alias("src"),
+        ((F.col("event_id") * 7 + F.col("user_id")) % 50).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
 def q_scd2(spark, sf_dir):
     """SCD2 dimension history (operators/asof.py:scd2_intervals) —
     per-user event_type treated as a changing attribute: consecutive
@@ -1949,17 +1967,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allows. They re-enter the window first thing next round, ahead of
     everything that goes green in r5.
 
-    Final r5 additions (url_filter, classifier_score, cluster_split,
-    pagerank, inverted_search, grouped_topk, seq_ngrams) take the head,
-    pushing seven more r3-green veterans — range_join, percentiles,
-    grep_filter, tokenize_fields, template_project,
-    template_missing_fields, orderby_limit — past the cap under the same
-    rule: new code MUST be driver-checked, while unchanged green
-    veterans tolerate one more round and rotate back in first thing in
-    r6 (they stay pytest- and fuzz-parity-covered meanwhile).
+    Final r5 additions (triangle_count, url_filter, classifier_score,
+    cluster_split, pagerank, inverted_search, grouped_topk, seq_ngrams)
+    take the head, pushing eight more r3-green veterans — asof_join,
+    range_join, percentiles, grep_filter, tokenize_fields,
+    template_project, template_missing_fields, orderby_limit — past the
+    cap under the same rule: new code MUST be driver-checked, while
+    unchanged green veterans tolerate one more round and rotate back in
+    first thing in r6 (they stay pytest- and fuzz-parity-covered
+    meanwhile).
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "triangle_count": q_triangle_count,  # r5 new: degree-oriented wedges
         "url_filter": q_url_filter,  # r5 new: blocklist suffix anti-joins
         "classifier_score": q_classifier_score,  # r5 new: hashed linear QC
         "cluster_split": q_cluster_split,  # r5 new: leakage-safe CC split
@@ -2408,6 +2428,53 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'test'
                END AS split
         FROM lab
+        """,
+        "triangle_count": """
+            -- degree-orientation triangle counting, BIGINT-only;
+            -- SUM(deg)//2 keeps n_edges integer (DuckDB / would be DOUBLE)
+            WITH e AS (
+              SELECT event_id % 50 AS a,
+                     (event_id * 7 + user_id) % 50 AS b
+              FROM events
+            ), und AS (
+              SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+              FROM e WHERE a <> b
+            ), deg AS (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ), ori AS (
+              SELECT CASE WHEN du.deg < dv.deg
+                          OR (du.deg = dv.deg AND u < v)
+                     THEN u ELSE v END AS s,
+                     CASE WHEN du.deg < dv.deg
+                          OR (du.deg = dv.deg AND u < v)
+                     THEN v ELSE u END AS d
+              FROM und
+              JOIN deg du ON du.node = u
+              JOIN deg dv ON dv.node = v
+            ), wed AS (
+              SELECT o1.d AS x, o2.d AS y
+              FROM ori o1 JOIN ori o2 ON o1.s = o2.s AND o1.d < o2.d
+            ), closing AS (
+              SELECT LEAST(s, d) AS x, GREATEST(s, d) AS y FROM ori
+            ), wt AS (
+              SELECT COUNT(*) AS n_wedges,
+                     COALESCE(SUM(CASE WHEN c.x IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS n_triangles
+              FROM wed LEFT JOIN closing c
+                ON wed.x = c.x AND wed.y = c.y
+            ), base AS (
+              SELECT COUNT(*) AS n_nodes,
+                     COALESCE(SUM(deg) // 2, 0) AS n_edges
+              FROM deg
+            )
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_wedges AS BIGINT) AS n_wedges,
+                   CAST(n_triangles AS BIGINT) AS n_triangles
+            FROM base, wt
         """,
         "url_filter": """
             -- planted URLs (same CASE as the Spark side), suffix-semantic

@@ -184,3 +184,85 @@ r0 AS (
 {chain}
 SELECT node, pr FROM {prev}
 """
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "src", b_col: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the undirected graph described by an edge
+    list (direction, duplicates, and self-loops are normalised away) —
+    the density diagnostic for near-dup pair graphs (how clique-like are
+    the clusters CC is about to merge?) and service topologies.
+
+    Returns ONE row ``(n_nodes, n_edges, n_wedges, n_triangles)``.
+
+    100 TB shape — the textbook degree-orientation plan: every canonical
+    edge is oriented from its LOWER (degree, node) endpoint to its
+    higher one, which bounds every oriented out-degree by O(sqrt(m));
+    the wedge self-join on the oriented source therefore cannot blow up
+    on a hub vertex (a star's center has out-degree 0 or 1 after
+    orientation, not n). Wedges close into triangles via one hash
+    equi-join back against the oriented edges — every triangle matches
+    exactly once, anchored at its lowest-ranked vertex. All shuffles
+    move (id, id) pairs only; no window, no cartesian, no payload.
+    """
+    a, b = F.col(a_col).cast("long"), F.col(b_col).cast("long")
+    und = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, node) endpoint -> higher; ties cannot happen
+    # on node (u != v), so the order is total and the orientation acyclic
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("d"))
+            )
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+    o1 = oriented.select(F.col("s"), F.col("d").alias("x"))
+    o2 = oriented.select(F.col("s"), F.col("d").alias("y"))
+    # deduped wedge (x, y): canonical id order is enough — the closing
+    # oriented edge between x and y exists in exactly one direction
+    wedges = o1.join(o2, "s").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
+    )
+    # one aggregate per side, ONE 1-row×1-row crossJoin to lay them side
+    # by side (n_edges = Σdeg/2 spares a third aggregate over `und`)
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce((F.sum("deg") / 2).cast("long"), F.lit(0)).alias(
+            "n_edges"
+        ),
+    )
+    wt = (
+        wedges.join(closing.withColumn("hit", F.lit(1)), ["x", "y"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_triangles"),
+        )
+    )
+    return base.crossJoin(wt).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    )

@@ -290,3 +290,56 @@ class TestSequenceNgrams:
             sequence_ngrams(df, n=1)
         with pytest.raises(ValueError, match="top_k"):
             sequence_ngrams(df, top_k=0)
+
+
+class TestTriangleCount:
+    def _tc(self, spark, edges):
+        from logpipe_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        r = self._tc(spark, k4)
+        assert (r["n_nodes"], r["n_edges"]) == (4, 6)
+        assert r["n_triangles"] == 4
+
+    def test_normalisation_direction_dups_loops(self, spark):
+        # triangle 1-2-3 expressed with reversed edges, duplicates and a
+        # self-loop: still exactly one triangle
+        r = self._tc(spark, [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3), (2, 2)])
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+
+    def test_star_and_path_have_no_triangles(self, spark):
+        star = [(0, i) for i in range(1, 8)]
+        r = self._tc(spark, star)
+        # orientation sends hub->leaf only when the hub ranks lower,
+        # which it never does (deg 7 vs 1) → zero wedges at the hub
+        assert (r["n_wedges"], r["n_triangles"]) == (0, 0)
+        path = [(i, i + 1) for i in range(6)]
+        r = self._tc(spark, path)
+        assert r["n_triangles"] == 0
+
+    def test_two_overlapping_triangles(self, spark):
+        # triangles 1-2-3 and 2-3-4 share edge 2-3
+        r = self._tc(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
+
+    def test_empty_graph(self, spark):
+        r = self._tc(spark, [(5, 5)])  # only a self-loop → empty
+        assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
+                r["n_triangles"]) == (0, 0, 0, 0)
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        import itertools
+
+        # deterministic pseudo-random graph on 12 nodes
+        edges = [((i * 7 + 3) % 12, (i * 5 + 1) % 12) for i in range(40)]
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        brute = sum(
+            1 for a, b, c in itertools.combinations(sorted({n for e in und for n in e}), 3)
+            if (a, b) in und and (a, c) in und and (b, c) in und
+        )
+        r = self._tc(spark, edges)
+        assert r["n_triangles"] == brute

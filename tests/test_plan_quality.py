@@ -78,12 +78,15 @@ def test_graded_queries_have_no_scale_killers(spark):
     # the 10-row planted-j table) — corpus side is scanned once, O(n)
     # skew_profile: top-k rows crossJoin a BROADCAST 1-row grand total
     # bm25_topk: corpus rows crossJoin a BROADCAST 1-row stats frame
+    # triangle_count: final 1-row × 1-row crossJoin laying the two
+    #   aggregate frames side by side — O(1) rows on both sides
     bnlj_ok = {
         "ann_cosine_topk",
         "ann_lsh_topk",
         "range_join",
         "skew_profile",
         "bm25_topk",
+        "triangle_count",
     }
     qs = entry_mod.queries()
     offenders = {}
