@@ -1046,6 +1046,22 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (operators/corpus.py:
+    weighted_sample, Efraimidis–Spirakis exponential keys): P(doc) ∝
+    n_chars, k=100, md5-derived uniforms → the sample is a pure function
+    of (doc_id, salt, weights) and repartition-invariant. Plan is
+    TakeOrderedAndProject (bounded per-partition heap), never a global
+    sort or window; the oracle is the same key expression ORDER BY
+    LIMIT k."""
+    from logpipe_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 100).select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_triangle_count(spark, sf_dir):
     """Exact triangle counting (operators/graph.py:triangle_count) with
     the degree-orientation plan: canonical edges oriented low→high
@@ -1967,18 +1983,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allows. They re-enter the window first thing next round, ahead of
     everything that goes green in r5.
 
-    Final r5 additions (triangle_count, url_filter, classifier_score,
-    cluster_split, pagerank, inverted_search, grouped_topk, seq_ngrams)
-    take the head, pushing eight more r3-green veterans — asof_join,
-    range_join, percentiles, grep_filter, tokenize_fields,
-    template_project, template_missing_fields, orderby_limit — past the
-    cap under the same rule: new code MUST be driver-checked, while
-    unchanged green veterans tolerate one more round and rotate back in
-    first thing in r6 (they stay pytest- and fuzz-parity-covered
-    meanwhile).
+    Final r5 additions (weighted_sample, triangle_count, url_filter,
+    classifier_score, cluster_split, pagerank, inverted_search,
+    grouped_topk, seq_ngrams) take the head, pushing nine more r3-green
+    veterans — es_bulk_render, asof_join, range_join, percentiles,
+    grep_filter, tokenize_fields, template_project,
+    template_missing_fields, orderby_limit — past the cap under the same
+    rule: new code MUST be driver-checked, while unchanged green
+    veterans tolerate one more round and rotate back in first thing in
+    r6 (they stay pytest- and fuzz-parity-covered meanwhile). Window
+    tail (pos 50) = parse_extract_pandas.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "weighted_sample": q_weighted_sample,  # r5 new: A-ES ∝-weight sample
         "triangle_count": q_triangle_count,  # r5 new: degree-oriented wedges
         "url_filter": q_url_filter,  # r5 new: blocklist suffix anti-joins
         "classifier_score": q_classifier_score,  # r5 new: hashed linear QC
@@ -2428,6 +2446,20 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'test'
                END AS split
         FROM lab
+        """,
+        "weighted_sample": """
+            -- A-ES exponential keys: -ln((h+0.5)/2^60)/w, k smallest;
+            -- identical double expression as the Spark side (ln last-ulp
+            -- differences cannot flip md5-separated keys)
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     -ln((CAST(CAST('0x' || substr(md5('ws:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                          AS DOUBLE) + 0.5) / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) AS sk
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) ORDER BY sk LIMIT 100
         """,
         "triangle_count": """
             -- degree-orientation triangle counting, BIGINT-only;

@@ -357,7 +357,7 @@ def main() -> None:
         "rate_anomaly", "cdc_merge", "hll_distinct", "bloom_semi_join",
         "cm_counts", "transition_matrix", "pagerank", "inverted_search",
         "grouped_topk", "seq_ngrams", "cluster_split", "url_filter",
-        "classifier_score", "triangle_count",
+        "classifier_score", "triangle_count", "weighted_sample",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

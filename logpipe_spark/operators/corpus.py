@@ -872,3 +872,44 @@ def cluster_split(
     return hash_split(
         labeled, fractions, key_col="split_group", salt=salt
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows, inclusion
+    probability proportional to ``weight_col`` — the length- or
+    quality-proportional subsample every corpus-curation recipe needs
+    (Efraimidis & Spirakis '06 exponential-keys scheme, the
+    distributed-friendly formulation: key = -ln(u)/w, keep the k
+    SMALLEST keys; one pass, no sequential reservoir).
+
+    Determinism across engines and runs: u is md5-derived from the
+    stable key under ``salt`` — u = (CAST(h AS DOUBLE) + 0.5) / 2^60
+    with h the 60-bit md5 hash, the identical expression in the SQL
+    oracle — so the sample is a pure function of (key, salt, weights),
+    invariant under repartitioning, and reproducible by any engine.
+
+    100 TB shape: orderBy(sample_key).limit(k) compiles to
+    TakeOrderedAndProject — a bounded per-partition heap of k rows
+    merged once, never a global sort, never a window. Non-positive or
+    NULL weights are excluded (P ∝ w requires w > 0)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from logpipe_spark.operators.dedup import base_hash60
+
+    h = base_hash60(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    u = (h.cast("double") + 0.5) / float(1 << 60)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select("*", key.alias("sample_key"))
+        .orderBy("sample_key")
+        .limit(k)
+    )

@@ -656,3 +656,81 @@ class TestClusterSplit:
             for r in cluster_split(big, pairs).collect()
         }
         assert all(b[k] == v for k, v in a.items())
+
+
+class TestWeightedSample:
+    def _mirror(self, rows, k, salt):
+        """Python mirror of the A-ES key: -ln((h+0.5)/2^60)/w."""
+        import hashlib
+        import math
+
+        keyed = []
+        for doc_id, w in rows:
+            if w is None or w <= 0:
+                continue
+            h = int(
+                hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15],
+                16,
+            )
+            u = (float(h) + 0.5) / float(1 << 60)
+            keyed.append((-math.log(u) / float(w), doc_id))
+        return {d for _, d in sorted(keyed)[:k]}
+
+    def test_matches_python_mirror_across_salts(self, spark):
+        from logpipe_spark.operators.corpus import weighted_sample
+
+        rows = [(i, (i % 7) + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        picks = {}
+        for salt in ("ws", "s2", "s3"):
+            got = {
+                r["doc_id"]
+                for r in weighted_sample(
+                    df, "w", 25, salt=salt
+                ).collect()
+            }
+            assert got == self._mirror(rows, 25, salt), salt
+            picks[salt] = got
+        # different salts draw different samples
+        assert picks["ws"] != picks["s2"]
+
+    def test_repartition_invariant_and_bad_weights(self, spark):
+        from logpipe_spark.operators.corpus import weighted_sample
+
+        rows = [(0, None), (1, 0), (2, -5)] + [
+            (i, i) for i in range(3, 60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        a = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
+        b = {
+            r["doc_id"]
+            for r in weighted_sample(df.repartition(13), "w", 10).collect()
+        }
+        assert a == b
+        assert not a & {0, 1, 2}  # NULL/zero/negative weights excluded
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="positive"):
+            weighted_sample(df, "w", 0)
+
+    def test_k_larger_than_n_returns_all_valid(self, spark):
+        from logpipe_spark.operators.corpus import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 4), (2, 1), (3, 0)], "doc_id long, w long"
+        )
+        got = weighted_sample(df, "w", 99).collect()
+        assert {r["doc_id"] for r in got} == {1, 2}
+
+    def test_plan_is_topk_not_sort(self, spark):
+        from logpipe_spark.operators.corpus import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1) for i in range(50)], "doc_id long, w long"
+        )
+        plan = (
+            weighted_sample(df, "w", 5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "WindowExec" not in plan
