@@ -1046,6 +1046,78 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_distribution_shift(spark, sf_dir):
+    """Corpus drift monitor (operators/textstats.py:distribution_shift):
+    add-1-smoothed unigram KL(P||Q), KL(Q||P) and Jensen–Shannon between
+    the English and non-English halves of the corpus. ONE token-keyed
+    hash agg is the only fact-sized shuffle; totals ride a 1-row
+    broadcast; vocab-wide double sums ROUND(6) (reduction order is the
+    only cross-engine difference, ~1e-15)."""
+    from logpipe_spark.operators.textstats import distribution_shift
+
+    docs = _t(spark, sf_dir, "documents")
+    return distribution_shift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    ).select(
+        F.col("n_p").cast("long").alias("n_p"),
+        F.col("n_q").cast("long").alias("n_q"),
+        F.col("vocab").cast("long").alias("vocab"),
+        "kl_pq", "kl_qp", "js",
+    )
+
+
+_HTML_CASE_SQL = """CASE
+  WHEN doc_id % 3 = 0 THEN
+    '<html><body><h1>' || lang || '</h1><p>' || text ||
+    '</p><script>var a=1;</script></body></html>'
+  WHEN doc_id % 3 = 1 THEN
+    '<div>' || text || '</div><br><i>tail</i>&nbsp;&amp; more'
+  ELSE text
+END"""
+
+
+def _html_extract_oracle() -> str:
+    """The oracle is COMPOSED from the operator's own rule table
+    (html_rules_sql), so a rule edit cannot silently diverge the two."""
+    from logpipe_spark.operators.html import html_rules_sql
+
+    expr = html_rules_sql(f"({_HTML_CASE_SQL})")
+    return f"""
+        SELECT doc_id, {expr} AS text,
+               CAST(length({expr}) AS BIGINT) AS text_chars
+        FROM documents
+    """
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML → text extraction (operators/html.py:extract_text): the
+    crawl-to-corpus stage as one fused RE2-safe regexp_replace chain —
+    map-only, zero Exchange, zero Python. HTML planted from documents
+    (script/style elision, block-closer newlines, entity subset with
+    &amp; decoded LAST); the oracle applies the IDENTICAL rule chain via
+    html_rules_sql over the identical planted CASE."""
+    from logpipe_spark.operators.html import extract_text
+
+    docs = _t(spark, sf_dir, "documents")
+    eid = F.col("doc_id")
+    html = (
+        F.when(eid % 3 == 0,
+               F.concat(F.lit("<html><body><h1>"), F.col("lang"),
+                        F.lit("</h1><p>"), F.col("text"),
+                        F.lit("</p><script>var a=1;</script>"
+                              "</body></html>")))
+        .when(eid % 3 == 1,
+              F.concat(F.lit("<div>"), F.col("text"),
+                       F.lit("</div><br><i>tail</i>&nbsp;&amp; more")))
+        .otherwise(F.col("text"))
+    )
+    return extract_text(docs.select("doc_id", html.alias("html"))).select(
+        "doc_id", "text",
+        F.col("text_chars").cast("long").alias("text_chars"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (operators/corpus.py:
     weighted_sample, Efraimidis–Spirakis exponential keys): P(doc) ∝
@@ -1983,19 +2055,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allows. They re-enter the window first thing next round, ahead of
     everything that goes green in r5.
 
-    Final r5 additions (weighted_sample, triangle_count, url_filter,
-    classifier_score, cluster_split, pagerank, inverted_search,
-    grouped_topk, seq_ngrams) take the head, pushing nine more r3-green
-    veterans — es_bulk_render, asof_join, range_join, percentiles,
-    grep_filter, tokenize_fields, template_project,
-    template_missing_fields, orderby_limit — past the cap under the same
-    rule: new code MUST be driver-checked, while unchanged green
+    Final r5 additions (distribution_shift, html_extract,
+    weighted_sample, triangle_count, url_filter, classifier_score,
+    cluster_split, pagerank, inverted_search, grouped_topk, seq_ngrams)
+    take the head, pushing eleven more r3-green veterans — rollup,
+    parse_extract_pandas, es_bulk_render, asof_join, range_join,
+    percentiles, grep_filter, tokenize_fields, template_project,
+    template_missing_fields, orderby_limit — past the cap under the
+    same rule: new code MUST be driver-checked, while unchanged green
     veterans tolerate one more round and rotate back in first thing in
     r6 (they stay pytest- and fuzz-parity-covered meanwhile). Window
-    tail (pos 50) = parse_extract_pandas.
+    tail (pos 50) = profile_columns, an r5-new query; EVERY r5-new or
+    r5-changed query sits inside the 50-slot window.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "distribution_shift": q_distribution_shift,  # r5 new: KL/JS drift
+        "html_extract": q_html_extract,  # r5 new: crawl text extraction
         "weighted_sample": q_weighted_sample,  # r5 new: A-ES ∝-weight sample
         "triangle_count": q_triangle_count,  # r5 new: degree-oriented wedges
         "url_filter": q_url_filter,  # r5 new: blocklist suffix anti-joins
@@ -2447,6 +2523,40 @@ def oracle_sql() -> dict[str, str]:
                END AS split
         FROM lab
         """,
+        "distribution_shift": """
+            -- add-1 smoothed unigram KL/JS over the JOINT vocab; the
+            -- per-term doubles are exact-integer ratios (identical in
+            -- both engines); only the vocab-wide SUM is order-dependent
+            -- → ROUND(6)
+            WITH tok AS (
+              SELECT unnest(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '')) AS token,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_p
+              FROM documents
+            ), counts AS (
+              SELECT token, SUM(is_p) AS cp, SUM(1 - is_p) AS cq
+              FROM tok GROUP BY token
+            ), tot AS (
+              SELECT SUM(cp) AS n_p, SUM(cq) AS n_q,
+                     COUNT(*) AS vocab
+              FROM counts
+            ), per AS (
+              SELECT n_p, n_q, vocab,
+                     CAST(cp + 1 AS DOUBLE) / (n_p + vocab) AS pt,
+                     CAST(cq + 1 AS DOUBLE) / (n_q + vocab) AS qt
+              FROM counts, tot
+            )
+            SELECT CAST(n_p AS BIGINT) AS n_p,
+                   CAST(n_q AS BIGINT) AS n_q,
+                   CAST(vocab AS BIGINT) AS vocab,
+                   ROUND(SUM(pt * ln(pt / qt)), 6) AS kl_pq,
+                   ROUND(SUM(qt * ln(qt / pt)), 6) AS kl_qp,
+                   ROUND(SUM(pt * ln(pt / ((pt + qt) / 2)) / 2
+                           + qt * ln(qt / ((pt + qt) / 2)) / 2), 6) AS js
+            FROM per GROUP BY n_p, n_q, vocab
+        """,
+        "html_extract": _html_extract_oracle(),
         "weighted_sample": """
             -- A-ES exponential keys: -ln((h+0.5)/2^60)/w, k smallest;
             -- identical double expression as the Spark side (ln last-ulp

@@ -394,3 +394,71 @@ def dsir_scores(
         F.size(gs).cast("long").alias("n_grams"),
         F.round(score(gs), 4).alias("dsir_score"),
     )
+
+
+def distribution_shift(
+    p_docs: DataFrame,
+    q_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram distribution divergence between two corpora — the drift
+    monitor a training pipeline runs between corpus versions, between
+    train and held-out splits, or between a source and its filtered
+    output (did the quality gate skew the token distribution?).
+
+    Returns ONE row ``(n_p, n_q, vocab, kl_pq, kl_qp, js)``: token
+    totals, joint vocabulary size, both directed KL divergences and the
+    Jensen–Shannon divergence (natural log), each over add-1-smoothed
+    unigram distributions on the JOINT vocabulary — so zero-count tokens
+    contribute mass and neither KL can be infinite.
+
+    Determinism: p_t = (c_t+1)/(N_p+V) is a double from exact integers —
+    identical in any engine; only the final vocab-wide sums are
+    reduction-order dependent, so they are ROUNDed to 6 decimals (error
+    is ~1e-15 relative; the same rule the dsir/unigram oracles use).
+
+    100 TB shape: both corpora explode to tokens and meet in ONE
+    token-keyed hash aggregation (the only fact-sized shuffle); the
+    divergence itself is two passes over the vocab-sized count table
+    plus a 1-row broadcast of the totals. Nothing is collected."""
+    def _toks(df: DataFrame, flag: int) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("token"),
+            F.lit(flag).alias("is_p"),
+        )
+
+    counts = (
+        _toks(p_docs, 1)
+        .unionAll(_toks(q_docs, 0))
+        .groupBy("token")
+        .agg(
+            F.sum("is_p").alias("cp"),
+            F.sum(1 - F.col("is_p")).alias("cq"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("cp").alias("n_p"),
+        F.sum("cq").alias("n_q"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    pt = (F.col("cp") + 1).cast("double") / (F.col("n_p") + F.col("vocab"))
+    qt = (F.col("cq") + 1).cast("double") / (F.col("n_q") + F.col("vocab"))
+    mt = (pt + qt) / 2
+    per = j.select(
+        "n_p", "n_q", "vocab",
+        (pt * F.log(pt / qt)).alias("kl_pq_t"),
+        (qt * F.log(qt / pt)).alias("kl_qp_t"),
+        (pt * F.log(pt / mt) / 2 + qt * F.log(qt / mt) / 2).alias("js_t"),
+    )
+    return per.groupBy("n_p", "n_q", "vocab").agg(
+        F.round(F.sum("kl_pq_t"), 6).alias("kl_pq"),
+        F.round(F.sum("kl_qp_t"), 6).alias("kl_qp"),
+        F.round(F.sum("js_t"), 6).alias("js"),
+    )

@@ -80,7 +80,9 @@ def test_graded_queries_have_no_scale_killers(spark):
     # bm25_topk: corpus rows crossJoin a BROADCAST 1-row stats frame
     # triangle_count: final 1-row × 1-row crossJoin laying the two
     #   aggregate frames side by side — O(1) rows on both sides
+    # distribution_shift: vocab rows crossJoin a BROADCAST 1-row totals
     bnlj_ok = {
+        "distribution_shift",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "range_join",

@@ -226,3 +226,56 @@ def test_dsir_scores_bucket_cap(spark):
     docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         dsir_scores(docs, docs, buckets=100_000)
+
+
+class TestDistributionShift:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_identical_corpora_have_zero_divergence(self, spark):
+        from logpipe_spark.operators.textstats import distribution_shift
+
+        docs = self._df(spark, ["alpha beta gamma", "beta beta delta"])
+        r = distribution_shift(docs, docs).collect()[0]
+        assert (r["kl_pq"], r["kl_qp"], r["js"]) == (0.0, 0.0, 0.0)
+        assert r["n_p"] == r["n_q"] == 6
+        assert r["vocab"] == 4
+
+    def test_matches_python_mirror(self, spark):
+        import math
+
+        from logpipe_spark.operators.textstats import distribution_shift
+
+        p_texts = ["cat dog cat", "dog fish"]
+        q_texts = ["cat bird bird bird", "bird"]
+        r = distribution_shift(
+            self._df(spark, p_texts), self._df(spark, q_texts)
+        ).collect()[0]
+
+        def counts(ts):
+            c = {}
+            for t in ts:
+                for w in t.lower().split():
+                    c[w] = c.get(w, 0) + 1
+            return c
+
+        cp, cq = counts(p_texts), counts(q_texts)
+        vocab = sorted(set(cp) | set(cq))
+        n_p, n_q, v = sum(cp.values()), sum(cq.values()), len(vocab)
+        kl_pq = kl_qp = js = 0.0
+        for w in vocab:
+            pt = (cp.get(w, 0) + 1) / (n_p + v)
+            qt = (cq.get(w, 0) + 1) / (n_q + v)
+            mt = (pt + qt) / 2
+            kl_pq += pt * math.log(pt / qt)
+            kl_qp += qt * math.log(qt / pt)
+            js += pt * math.log(pt / mt) / 2 + qt * math.log(qt / mt) / 2
+        assert (r["n_p"], r["n_q"], r["vocab"]) == (n_p, n_q, v)
+        assert r["kl_pq"] == round(kl_pq, 6)
+        assert r["kl_qp"] == round(kl_qp, 6)
+        assert r["js"] == round(js, 6)
+        # JS is symmetric, bounded by ln 2, and positive under shift
+        assert 0 < r["js"] < math.log(2)
+        assert r["kl_pq"] > 0 and r["kl_qp"] > 0
