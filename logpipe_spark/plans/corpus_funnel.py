@@ -46,13 +46,41 @@ def run_corpus_funnel(
     alpha: float = 0.5,
     chunk_size: int = 128,
     pack_budget: int = 256,
+    html_col: str | None = None,
+    url_blocklist: DataFrame | None = None,
+    classifier_threshold: float | None = None,
 ) -> dict:
-    """Quality gate → exact dedup → near-dup keep-best → decontaminate →
-    PII scrub → line dedup → temperature mix → chunk → pack → shuffle
+    """[URL blocklist →] [HTML extract →] quality gate → [classifier
+    gate →] exact dedup → near-dup keep-best → decontaminate → PII
+    scrub → line dedup → temperature mix → chunk → pack → shuffle
     order. Returns {stage: count} (forcing each stage — this is the
     audit/benchmark entry; a production run would fuse stages it does
-    not need counts for)."""
+    not need counts for).
+
+    The three optional crawl-side gates mirror C4/RefinedWeb order:
+    ``url_blocklist`` drops blocked domains FIRST (cheapest predicate,
+    broadcast anti-joins, before any text is even parsed),
+    ``html_col`` runs the map-only tag-strip chain to produce ``text``,
+    and ``classifier_threshold`` applies the hashed-linear quality model
+    after the heuristic gate (both map-only; the heuristic first because
+    it is cheaper per byte)."""
     funnel = {"input": docs.count()}
+
+    if url_blocklist is not None:
+        from logpipe_spark.operators.urls import url_blocklist_filter
+
+        docs = url_blocklist_filter(docs, url_blocklist).localCheckpoint()
+        funnel["url_blocklist"] = docs.count()
+
+    if html_col is not None:
+        from logpipe_spark.operators.html import extract_text
+
+        docs = (
+            extract_text(docs.drop("text"), html_col=html_col)
+            .drop(html_col, "text_chars")
+            .localCheckpoint()
+        )
+        funnel["html_extract"] = docs.count()
 
     gated = (
         corpus_filter(docs)
@@ -62,6 +90,15 @@ def run_corpus_funnel(
     )
     gated = gated.localCheckpoint()
     funnel["quality_gate"] = gated.count()
+
+    if classifier_threshold is not None:
+        from logpipe_spark.operators.classify import classifier_score
+
+        good = classifier_score(
+            gated, threshold=classifier_threshold
+        ).filter(F.col("keep")).select("doc_id")
+        gated = gated.join(good, "doc_id").localCheckpoint()
+        funnel["classifier_gate"] = gated.count()
 
     exact = exact_dedup(gated).localCheckpoint()
     funnel["exact_dedup"] = exact.count()

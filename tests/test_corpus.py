@@ -734,3 +734,43 @@ class TestWeightedSample:
         )
         assert "TakeOrderedAndProject" in plan
         assert "WindowExec" not in plan
+
+
+def test_corpus_funnel_crawl_gates(spark):
+    """The optional crawl-side gates: URL blocklist first, HTML
+    extraction next, classifier gate after the heuristic one — each
+    monotonically narrows the funnel and the downstream stages still
+    run on the extracted text."""
+    from logpipe_spark.plans.corpus_funnel import run_corpus_funnel
+
+    n = 120
+    rows = [
+        (
+            i,
+            ("https://blocked.ads.net/x" if i % 6 == 0
+             else f"https://ok{i % 7}.org/p"),
+            "<p>" + (f"Document {i} has some reasonable text content. "
+                     * 4) + "</p><script>junk()</script>",
+            ["en", "fr"][i % 2],
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, html string, lang string"
+    )
+    bl = spark.createDataFrame([("ads.net",)], "domain string")
+    f = run_corpus_funnel(
+        spark,
+        docs.repartition(8),
+        html_col="html",
+        url_blocklist=bl,
+        classifier_threshold=-1.0,  # permissive: gate runs, keeps all
+    )
+    assert f["url_blocklist"] == n - n // 6
+    assert f["html_extract"] == f["url_blocklist"]
+    assert f["classifier_gate"] <= f["quality_gate"] > 0
+    assert f["shuffled"] > 0
+    # stage keys appear in C4/RefinedWeb order
+    keys = list(f)
+    assert keys[:5] == ["input", "url_blocklist", "html_extract",
+                        "quality_gate", "classifier_gate"]
