@@ -96,3 +96,57 @@ def test_spec_validation(member_df):
         build_bloom(member_df, "key", m_bits=MAX_BLOOM_BITS * 2)
     with pytest.raises(ValueError):
         build_bloom(member_df, "key", k=0)
+
+
+def test_bytemap_probe_matches_array_probe(spark):
+    """The fast binary-blob probe path (what bloom_semi_join ships to
+    executors) admits exactly the same keys as the portable dense-word
+    probe — same filter, same k strides, element-for-element."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.operators.bloom import (
+        MAX_BYTEMAP_BITS,
+        bloom_bytemap,
+        bloom_might_contain,
+        bloom_might_contain_bytes,
+        bloom_words,
+        build_bloom,
+    )
+
+    m, k = 1 << 12, 5
+    members = spark.range(0, 300).select(
+        F.col("id").cast("string").alias("key")
+    )
+    bl = build_bloom(members, "key", m, k)
+    words = bloom_words(bl, m)
+    blob = bloom_bytemap(bl, m)
+    # blob bit b set  <=>  words bit b set
+    assert all(
+        blob[32 * w + b] == ((words[w] >> b) & 1)
+        for w in range(m // 32) for b in range(32)
+    )
+    probe = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("key")
+    )
+    hx = F.md5(F.concat(F.lit("bf:"), F.col("key")))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % m
+    h2 = (F.conv(F.substring(hx, 16, 15), 16, 10).cast("long") * 2 + 1) % m
+    via_bytes = {
+        r["key"]
+        for r in probe.where(
+            bloom_might_contain_bytes(blob, h1, h2, m, k)
+        ).collect()
+    }
+    via_words = {
+        r["key"]
+        for r in probe.where(
+            bloom_might_contain(words, F.col("key"), m, k)
+        ).collect()
+    }
+    assert via_bytes == via_words
+    assert {str(i) for i in range(300)} <= via_bytes  # no false negatives
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capped"):
+        bloom_bytemap(bl, MAX_BYTEMAP_BITS * 2)
