@@ -358,7 +358,8 @@ def main() -> None:
         "cm_counts", "transition_matrix", "pagerank", "inverted_search",
         "grouped_topk", "seq_ngrams", "cluster_split", "url_filter",
         "classifier_score", "triangle_count", "weighted_sample",
-        "html_extract", "distribution_shift",
+        "html_extract", "distribution_shift", "collocations",
+        "mad_outliers",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -159,3 +159,54 @@ def grouped_topk(
         F.col("_it.i").alias(id_col),
         F.col("_it.o").alias(order_col),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    key_col: str,
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection: the modified z-score
+    0.6745·|x − median| / MAD > z (Iglewicz & Hoaglin '93) — median/MAD
+    instead of mean/stddev so the outliers being hunted cannot mask
+    themselves by inflating the scale estimate. The data-quality
+    pre-flight for numeric columns (latency spikes, corrupt values,
+    unit mix-ups) per service/type/domain.
+
+    Returns the flagged rows (key, group, value, score). Groups whose
+    MAD is 0 (over half the group identical) emit nothing — the score
+    is undefined there, and a constant group's deviants are better
+    caught by an exact predicate.
+
+    Plan: two group-keyed exact ``percentile`` aggregates (median, then
+    MAD over deviations) + one join of the tiny per-group stats back.
+    Exact percentile buffers one group's values per task — fine for
+    dimension-bounded groups (types/services); for corpus-sized groups
+    swap the median source for the `quantile_buckets` histogram walk
+    (same contract, bounded state) — the same trade `percentiles`
+    documents."""
+    g, v = F.col(group_col), F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(med, group_col).withColumn(
+        "_dev", F.abs(v.cast("double") - F.col("_med"))
+    )
+    stats = dev.groupBy(group_col).agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad"),
+        F.first("_med").alias("_med"),
+    )
+    scored = df.join(stats, group_col).withColumn(
+        "_score",
+        F.lit(0.6745) * F.abs(v.cast("double") - F.col("_med"))
+        / F.col("_mad"),
+    )
+    return (
+        scored.where((F.col("_mad") > 0) & (F.col("_score") > z))
+        .select(
+            key_col, group_col, value_col,
+            F.round("_score", 6).alias("score"),
+        )
+    )

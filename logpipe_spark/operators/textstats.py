@@ -462,3 +462,78 @@ def distribution_shift(
         F.round(F.sum("kl_qp_t"), 6).alias("kl_qp"),
         F.round(F.sum("js_t"), 6).alias("js"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocation mining: adjacent-bigram PMI — which word pairs
+    co-occur far more than chance (named entities, terms of art,
+    boilerplate phrases). The corpus-analysis companion to
+    ``repetition_stats``: repetition finds WITHIN-doc excess, PMI finds
+    CORPUS-WIDE lexical glue, a standard pre-tokenizer diagnostic
+    (which strings deserve merges) and boilerplate detector.
+
+    PMI(a,b) = ln(c_ab · N / (c_a · c_b)) over adjacent pairs, with N =
+    total bigram occurrences; pairs below ``min_count`` are noise and
+    dropped BEFORE the expensive join (the classic Church & Hanks '90
+    cutoff). Returns top_k by (pmi DESC, bigram ASC) — count ties
+    cannot reorder across engines because every PMI input is an exact
+    integer and the expression is computed identically.
+
+    100 TB shape: one explode → ONE bigram-keyed hash agg (the only
+    fact-sized shuffle; adjacent pairs only — never within-doc
+    all-pairs), unigram counts derived from the SAME bigram table
+    (sum over left/right slots — no second corpus pass), joined at
+    vocab size, top-k via TakeOrderedAndProject."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    # unigram occurrence counts IN BIGRAM SLOTS, from the bigram table
+    # itself: c_a = Σ c_ab over pairs where the word fills either slot.
+    # (Slot counts, not raw token counts — the PMI denominator must live
+    # in the same sample space as the numerator.)
+    left = big.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c_ab").alias("c_l")
+    )
+    right = big.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("c_ab").alias("c_r")
+    )
+    tot = big.agg(F.sum("c_ab").alias("n_pairs"))
+    scored = (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(left, big.w1 == left.w)
+        .drop("w")
+        .join(right, big.w2 == right.w)
+        .drop("w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double") * F.col("n_pairs")
+                    / (F.col("c_l").cast("double") * F.col("c_r"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(top_k)

@@ -81,8 +81,11 @@ def test_graded_queries_have_no_scale_killers(spark):
     # triangle_count: final 1-row × 1-row crossJoin laying the two
     #   aggregate frames side by side — O(1) rows on both sides
     # distribution_shift: vocab rows crossJoin a BROADCAST 1-row totals
+    # collocations: vocab-sized bigram rows crossJoin a BROADCAST 1-row
+    #   pair-total frame
     bnlj_ok = {
         "distribution_shift",
+        "collocations",
         "ann_cosine_topk",
         "ann_lsh_topk",
         "range_join",

@@ -51,3 +51,33 @@ def test_profile_columns_single_scan(spark):
     )
     # one scan of the input, not one per column
     assert plan.count("FileScan parquet") == 1
+
+
+class TestMadOutliers:
+    def test_flags_spike_not_noise(self, spark):
+        from logpipe_spark.operators.profile import mad_outliers
+
+        rows = (
+            [(i, "a", 100 + (i % 5)) for i in range(20)]   # tight group
+            + [(99, "a", 10_000)]                          # spike
+            + [(200 + i, "b", v) for i, v in enumerate(
+                [1, 2, 3, 4, 5, 6, 7, 8, 9])]              # spread, no spike
+        )
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        got = {r["id"]: r for r in
+               mad_outliers(df, "v", "g", "id").collect()}
+        assert 99 in got and got[99]["g"] == "a"
+        assert all(r["g"] == "a" for r in got.values())
+        # modified z-score formula spot check: med=102, mad=1
+        import math
+        assert got[99]["score"] == round(0.6745 * abs(10_000 - 102) / 1, 6)
+
+    def test_zero_mad_group_emits_nothing(self, spark):
+        from logpipe_spark.operators.profile import mad_outliers
+
+        df = spark.createDataFrame(
+            [(i, "c", 5) for i in range(10)] + [(99, "c", 1000)],
+            "id long, g string, v long",
+        )
+        # median=5, MAD=0 → undefined score → group skipped entirely
+        assert mad_outliers(df, "v", "g", "id").count() == 0

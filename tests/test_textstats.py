@@ -279,3 +279,47 @@ class TestDistributionShift:
         # JS is symmetric, bounded by ln 2, and positive under shift
         assert 0 < r["js"] < math.log(2)
         assert r["kl_pq"] > 0 and r["kl_qp"] > 0
+
+
+class TestCollocations:
+    def test_pmi_ranks_glued_pairs_first(self, spark):
+        import math
+
+        from logpipe_spark.operators.textstats import collocations
+
+        # "san francisco" always adjacent; "the" spreads across four
+        # partners and "cat" also follows "big" → both slot counts of
+        # "the cat" exceed its pair count → lower PMI than the glued pair
+        docs = spark.createDataFrame(
+            [(i, "san francisco the " + w) for i, w in enumerate(
+                ["cat", "dog", "sun", "car", "cat", "dog"])]
+            + [(10, "big cat"), (11, "big cat")],
+            "doc_id long, text string",
+        )
+        rows = collocations(docs, top_k=10, min_count=2).collect()
+        got = {r["bigram"]: r for r in rows}
+        # N=20 pairs; san→6 as w1, francisco→6 as w2
+        assert got["san francisco"]["c_ab"] == 6
+        assert got["san francisco"]["pmi"] == round(
+            math.log(6 * 20 / (6 * 6)), 6
+        )
+        # the→6 as w1, cat→4 as w2, pair only 2× → diluted
+        assert got["the cat"]["c_ab"] == 2
+        assert got["the cat"]["pmi"] == round(
+            math.log(2 * 20 / (6 * 4)), 6
+        )
+        assert got["san francisco"]["pmi"] > got["the cat"]["pmi"]
+        # rows arrive (pmi DESC, bigram ASC)
+        pmis = [r["pmi"] for r in rows]
+        assert pmis == sorted(pmis, reverse=True)
+
+    def test_min_count_drops_rare_pairs(self, spark):
+        from logpipe_spark.operators.textstats import collocations
+
+        docs = spark.createDataFrame(
+            [(0, "rare pair common duo common duo common duo")],
+            "doc_id long, text string",
+        )
+        got = {r["bigram"] for r in
+               collocations(docs, top_k=10, min_count=3).collect()}
+        assert "rare pair" not in got and "common duo" in got
