@@ -1075,9 +1075,12 @@ def q_collocations(spark, sf_dir):
     only float op, ROUND(6) both engines."""
     from logpipe_spark.operators.textstats import collocations
 
-    return collocations(
-        _t(spark, sf_dir, "documents"), top_k=50, min_count=5
+    # single-file sf input → spread before the per-row tokenize+explode
+    # (local-only crutch; a real scan has many splits)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return collocations(docs, top_k=50, min_count=5)
 
 
 def q_distribution_shift(spark, sf_dir):
