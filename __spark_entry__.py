@@ -1046,6 +1046,25 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Cross-table record linkage (operators/linkage.py:fuzzy_join):
+    documents fuzzy-joined against a planted second table (every 5th
+    doc re-keyed +1000000 with one appended token — Jaccard (t-2)/(t-1)
+    on t tokens, ≥0.8 whenever t ≥ 7). Blocking is the shared-shingle
+    equi-join with the hot-shingle cap computed over BOTH sides; no
+    cartesian anywhere. Oracle: the same two-sided CTE chain."""
+    from logpipe_spark.operators.linkage import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    # single-file sf input → spread before the per-row shingle explode
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    right = spread.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extrawordxyz")).alias("text"),
+    )
+    return fuzzy_join(spread, right, n=3, threshold=0.8)
+
+
 def q_mad_outliers(spark, sf_dir):
     """Robust per-group outliers (operators/profile.py:mad_outliers):
     modified z-score 0.6745·|x−med|/MAD per event_type over exact
@@ -2102,20 +2121,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     translate_charset) past the cap under the same rule.
 
     Round 5 produced MORE new queries than one 50-slot driver window
-    can check, so two r5-new entries deliberately overflow to positions
-    51-52 and take their first driver verdict in r6: `skew_profile` and
-    `profile_columns`. They are the overflow picks because they are the
-    simplest plans in the new set (one TakeOrdered / one Aggregate pass
-    over a single table, operators/profile.py:17,56 — untouched since
-    they went green in this round's local harness), each is
-    pytest-covered (tests/test_profile.py), and the full local oracle
-    sweep (scripts/cross_sf_check.py, the driver-equivalent value-hash
-    compare) is green for them at ALL THREE scale factors. Every other
-    r5-new or r5-changed query sits inside the 50-slot window; window
-    tail (pos 50) = shuffle_corpus.
+    can check, so three r5-new entries deliberately overflow to
+    positions 51-53 and take their first driver verdict in r6:
+    `shuffle_corpus`, `skew_profile`, and `profile_columns`. They are
+    the overflow picks because they are the simplest plans in the new
+    set (a seeded hash-order range shard, one TakeOrdered pass, one
+    Aggregate pass — operators/corpus.py shuffle_corpus,
+    operators/profile.py:17,56 — untouched since they went green in
+    this round's local harness), each is pytest-covered
+    (tests/test_corpus.py, tests/test_profile.py), and the full local
+    oracle sweep (scripts/cross_sf_check.py, the driver-equivalent
+    value-hash compare) is green for all three at ALL THREE scale
+    factors. Every other r5-new or r5-changed query sits inside the
+    50-slot window; window tail (pos 50) = remove_dup_spans.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
+        "fuzzy_join": q_fuzzy_join,  # r5 new: cross-table record linkage
         "mad_outliers": q_mad_outliers,  # r5 new: robust grouped outliers
         "collocations": q_collocations,  # r5 new: bigram PMI mining
         "distribution_shift": q_distribution_shift,  # r5 new: KL/JS drift
@@ -2570,6 +2592,55 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'test'
                END AS split
         FROM lab
+        """,
+        "fuzzy_join": """
+            -- cross-table Jaccard linkage; hot-shingle df over BOTH
+            -- sides; planted right table = every 5th doc re-keyed with
+            -- one appended token (same construction as the Spark side)
+            WITH ltoks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), rtoks AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     list_filter(string_split(
+                       lower(text || ' extrawordxyz'), ' '),
+                       x -> x <> '') AS t
+              FROM documents WHERE doc_id % 5 = 0
+            ), lsh AS (
+              SELECT doc_id AS lk, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS s
+              FROM ltoks
+            ), rsh AS (
+              SELECT doc_id AS rk, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS s
+              FROM rtoks
+            ), ok AS (
+              SELECT s FROM (
+                SELECT s FROM lsh UNION ALL SELECT s FROM rsh
+              ) GROUP BY s HAVING COUNT(*) <= 1000
+            ), lf AS (
+              SELECT lsh.* FROM lsh JOIN ok USING (s)
+            ), rf AS (
+              SELECT rsh.* FROM rsh JOIN ok USING (s)
+            ), lsz AS (
+              SELECT lk, COUNT(*) AS sz_l FROM lf GROUP BY lk
+            ), rsz AS (
+              SELECT rk, COUNT(*) AS sz_r FROM rf GROUP BY rk
+            ), inter AS (
+              SELECT lk, rk, COUNT(*) AS n_common
+              FROM lf JOIN rf USING (s) GROUP BY lk, rk
+            )
+            SELECT lk AS doc_id_l, rk AS doc_id_r,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(n_common AS DOUBLE)
+                     / (sz_l + sz_r - n_common) AS jaccard
+            FROM inter JOIN lsz USING (lk) JOIN rsz USING (rk)
+            WHERE CAST(n_common AS DOUBLE) / (sz_l + sz_r - n_common)
+                  >= 0.8
         """,
         "mad_outliers": """
             -- modified z-score per group; quantile_cont == Spark's
