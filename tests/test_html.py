@@ -79,3 +79,41 @@ class TestStripHtml:
             ).fetchall()
         }
         assert got == want
+
+
+def test_fuzz_parity_spark_vs_duckdb(spark):
+    """Seeded random HTML-ish soup through BOTH engines' rule chains —
+    the divergence class that matters here is Java-regex vs RE2
+    semantics ((?is) scoping, lazy quantifiers across newlines, class
+    escapes), and a few hundred adversarial strings cover it far better
+    than hand cases."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    atoms = [
+        "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+        "<br>", "</p>", "</div>", "</li>", "<p>", "<div class='x'>",
+        "<", ">", "&", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;",
+        "&nbsp;", "&amp;lt;", "word", "Zz9", " ", "  ", "\n", "\t",
+        "\r", "a<b", "x>y", "</h3>", "<h1>", "<sCrIpT>", "</ScRiPt>",
+        "<not a tag", "-->stray", "<!--unclosed",
+    ]
+    docs = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 40))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in extract_text(df).select("doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {html_rules_sql('html')} FROM d"
+        ).fetchall()
+    )
+    mismatches = {k for k in got if got[k] != want[k]}
+    assert not mismatches, {k: (got[k], want[k]) for k in list(mismatches)[:3]}

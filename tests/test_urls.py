@@ -99,3 +99,62 @@ class TestBlocklistFilter:
         df = _urls(spark, ["https://a.com/x", "https://b.org/y"])
         bl = self._bl(spark, []).filter(F.lit(False))
         assert url_blocklist_filter(df, bl).count() == 2
+
+
+def test_fuzz_parity_url_regexes_spark_vs_duckdb(spark):
+    """Seeded random URL-ish strings through the SAME host/path/query
+    regexes in Spark and DuckDB (the oracle's construction) — guards
+    the Java-vs-RE2 seam the same way the HTML fuzz does."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xBEEF)
+    atoms = [
+        "https://", "http://", "ftp://", "x-2.proto://", "://", "//",
+        "example.com", "a.b.c.d.e.f", "host", "co.uk", ":8080", ":x",
+        "/", "/path", "/a/b/c", "//", "?", "?a=1", "&b=2", "&", "=",
+        "#frag", "#", "..", ".", "UPPER.Case", "123", "", "host:",
+    ]
+    rows = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 8))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    feats = url_features(df).select(
+        "id", "host", "domain", "path_depth", "n_params", "is_https"
+    )
+    got = {r["id"]: tuple(r)[1:] for r in feats.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", rows)
+    # mirror of the url_filter oracle's feature construction
+    want = {}
+    for rid, host, path, q, url in con.execute("""
+        SELECT id,
+               lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+               COALESCE(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')
+                 AS path,
+               COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS q,
+               url
+        FROM u
+    """).fetchall():
+        labels = [p for p in host.split(".")] if host else [""]
+        if len(labels) <= 2:
+            domain = host
+        else:
+            last2 = ".".join(labels[-2:])
+            psl = {"co.uk", "org.uk", "ac.uk", "gov.uk", "com.au",
+                   "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+                   "com.br", "com.cn", "com.mx", "co.in", "co.kr",
+                   "com.tw", "com.sg", "co.za"}
+            domain = ".".join(labels[-3:]) if last2 in psl else last2
+        depth = len([s for s in path.split("/") if s != ""])
+        n_params = 0 if q == "" else len(q.split("&"))
+        want[rid] = (host, domain, depth, n_params,
+                     url.lower().startswith("https://"))
+    mism = {k for k in got if got[k] != want[k]}
+    assert not mism, {k: (rows[k][1], got[k], want[k]) for k in list(mism)[:3]}
