@@ -790,22 +790,22 @@ def q_hll_distinct(spark, sf_dir):
     hit exercises the raw-estimator branch). Register index/rank are
     md5-derived integers, the harmonic denominator is an exact scaled
     BIGINT sum, and the only float math is one literal-table multiply
-    or one division — value-hash-identical to the DuckDB mirror."""
-    from logpipe_spark.operators.sketch import hll_distinct
+    or one division — value-hash-identical to the DuckDB mirror.
+    All three sketches come from ONE corpus pass (hll_distinct_multi:
+    per-row explode to (col, register, rank) — at 100 TB that is one
+    scan, not one per profiled column); register derivation is
+    expression-identical to the single-column operator, bit-equal by
+    test."""
+    from logpipe_spark.operators.sketch import hll_distinct_multi
 
     # single-file sf input → spread before the per-row md5 register
     # derivation (local-only crutch; a real scan has many splits)
     ev = _t(spark, sf_dir, "events").repartition(
         spark.sparkContext.defaultParallelism
     )
-    parts = [
-        hll_distinct(ev.select(c), c).withColumn("col_name", F.lit(c))
-        for c in ("props", "user_id", "event_id")
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return hll_distinct_multi(
+        ev, ["props", "user_id", "event_id"]
+    ).select("m", "v_used", "denom_scaled", "estimate", "col_name")
 
 
 def q_bloom_semi_join(spark, sf_dir):

@@ -290,3 +290,80 @@ SELECT CAST({m} AS BIGINT) AS m, v_used,
        {est} AS estimate
 FROM folded
 """
+
+
+def hll_registers_multi(
+    df: DataFrame, cols: list[str], p: int = 8
+) -> DataFrame:
+    """Register tables for SEVERAL columns from ONE scan: each row
+    explodes to (col_name, j, rank) — map-side, so at 100 TB this is
+    the difference between one pass over the corpus and one pass PER
+    profiled column. Register derivation is expression-identical to
+    :func:`hll_registers`, so per-column results are bit-equal to the
+    single-column operator (test-asserted)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not 4 <= p <= 14:
+        raise ValueError(f"p out of range: {p}")
+    m = 1 << p
+    rank_bits = 60 - p
+    entries = []
+    for c in cols:
+        h = base_hash60(F.col(c).cast("string"))
+        v = F.floor(h / m).cast("long")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                (h % m).cast("int").alias("j"),
+                (F.lit(rank_bits + 1) - _bit_length(v, rank_bits))
+                .cast("int")
+                .alias("rank"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.col_name", "e.j", "e.rank")
+        .groupBy("col_name", "j")
+        .agg(F.max("rank").alias("m_j"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, p: int = 8, group_col: str = "col_name"
+) -> DataFrame:
+    """:func:`hll_estimate`, per group — the same exact-BIGINT denom and
+    literal-table linear counting, folded by ``group_col`` instead of
+    globally."""
+    m = 1 << p
+    b = _RANK_BITS + 1
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {b} - m_j)")
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("v_used"),
+        F.sum(scaled).alias("_used_sum"),
+    )
+    denom = (
+        F.col("_used_sum")
+        + (F.lit(m) - F.col("v_used")) * F.lit(1 << b).cast("long")
+    )
+    est_num = _alpha(m) * (m * m)
+    raw = F.lit(est_num * float(1 << b)) / denom.cast("double")
+    lc = F.lit(float(m)) * F.element_at(
+        F.lit(_lc_table(m)), (F.lit(m) - F.col("v_used")).cast("int")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_used") < m), lc
+    ).otherwise(raw)
+    return agg.select(
+        group_col,
+        F.lit(m).cast("long").alias("m"),
+        F.col("v_used"),
+        denom.cast("long").alias("denom_scaled"),
+        est.alias("estimate"),
+    )
+
+
+def hll_distinct_multi(
+    df: DataFrame, cols: list[str], p: int = 8
+) -> DataFrame:
+    """Cardinality estimates for several columns in ONE corpus pass."""
+    return hll_estimate_by(hll_registers_multi(df, cols, p), p)

@@ -290,3 +290,35 @@ def test_hll_register_values_match_pure_python(spark):
         rank = 53 - rest.bit_length()
         regs[j] = max(regs.get(j, 0), rank)
     assert got == regs
+
+def test_hll_multi_matches_single_column_ops(spark):
+    """hll_distinct_multi from ONE scan is bit-equal, per column, to
+    the single-column operator chain — same registers, same fold."""
+    from pyspark.sql import functions as F
+
+    from logpipe_spark.operators.sketch import (
+        hll_distinct,
+        hll_distinct_multi,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 37).cast("string").alias("a"),
+        (F.col("id") % 1234).alias("b"),
+        F.col("id").alias("c"),
+    )
+    multi = {
+        r["col_name"]: (r["m"], r["v_used"], r["denom_scaled"],
+                        r["estimate"])
+        for r in hll_distinct_multi(df, ["a", "b", "c"]).collect()
+    }
+    for c in ("a", "b", "c"):
+        single = hll_distinct(df.select(c), c).collect()[0]
+        assert multi[c] == (
+            single["m"], single["v_used"], single["denom_scaled"],
+            single["estimate"],
+        ), c
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        hll_distinct_multi(df, [])
