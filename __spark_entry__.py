@@ -1046,6 +1046,38 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_containment_dedup(spark, sf_dir):
+    """Asymmetric containment near-dup (operators/dedup.py:
+    containment_pairs): Broder containment |A∩B|/|A| ≥ 0.9 — the
+    "quoted in full" case Jaccard structurally misses. Planted
+    construction both engines build identically: containers
+    (doc_id 1000000+k) concatenate the texts of docs 3k, 3k+1, 3k+2
+    (k < 10) in doc_id order, so every shingle of each constituent
+    appears in its container → containment exactly 1.0 against
+    Jaccard ≈ 1/3. n_common = the contained doc's distinct-shingle
+    count, an integer both engines agree on bit-for-bit."""
+    from logpipe_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # single-file sf input → spread before the per-row shingle explode
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    containers = (
+        spread.filter(F.col("doc_id") < 30)
+        .groupBy(F.floor(F.col("doc_id") / 3).alias("grp"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))).getField(
+                    "text"
+                ),
+            ).alias("text")
+        )
+        .select((F.col("grp") + 1_000_000).alias("doc_id"), "text")
+    )
+    synth = spread.select("doc_id", "text").unionByName(containers)
+    return containment_pairs(synth, n=3, threshold=0.9)
+
+
 def q_fuzzy_join(spark, sf_dir):
     """Cross-table record linkage (operators/linkage.py:fuzzy_join):
     documents fuzzy-joined against a planted second table (every 5th
@@ -2121,17 +2153,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     translate_charset) past the cap under the same rule.
 
     Round 5 produced MORE new queries than one 50-slot driver window
-    can check, so three r5-new entries deliberately overflow to
-    positions 51-53 and take their first driver verdict in r6:
-    `shuffle_corpus`, `skew_profile`, and `profile_columns`. They are
-    the overflow picks because they are the simplest plans in the new
-    set (a seeded hash-order range shard, one TakeOrdered pass, one
-    Aggregate pass — operators/corpus.py shuffle_corpus,
-    operators/profile.py:17,56 — untouched since they went green in
-    this round's local harness), each is pytest-covered
-    (tests/test_corpus.py, tests/test_profile.py), and the full local
+    can check, so four r5-new entries deliberately overflow to
+    positions 51-54 and take their first driver verdict in r6:
+    `containment_dedup`, `shuffle_corpus`, `skew_profile`, and
+    `profile_columns`. The latter three are the overflow picks because
+    they are the simplest plans in the new set (a seeded hash-order
+    range shard, one TakeOrdered pass, one Aggregate pass —
+    operators/corpus.py shuffle_corpus, operators/profile.py:17,56 —
+    untouched since they went green in this round's local harness);
+    `containment_dedup` overflows because it landed after the window
+    froze and reuses the plan shape of the already-in-window
+    `dedup_ngram_jaccard` verbatim (same explode / hot-shingle cap /
+    per-shingle self-join — only the final orientation + divisor
+    differ). Each is pytest-covered (tests/test_corpus.py,
+    tests/test_profile.py, tests/test_dedup.py), and the full local
     oracle sweep (scripts/cross_sf_check.py, the driver-equivalent
-    value-hash compare) is green for all three at ALL THREE scale
+    value-hash compare) is green for all four at ALL THREE scale
     factors. Every other r5-new or r5-changed query sits inside the
     50-slot window; window tail (pos 50) = remove_dup_spans.
     """
@@ -2187,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_tokens": q_bpe_merge_tokens,  # r5 new: merge-table BPE
         "dup_spans": q_dup_spans,  # r5 new: span-level duplication stats
         "remove_dup_spans": q_remove_dup_spans,  # r5 new: span removal rewrite
+        "containment_dedup": q_containment_dedup,  # r5 new: overflow pick, see docstring
         "shuffle_corpus": q_shuffle_corpus,  # r5 new: deterministic shuffle order
         "skew_profile": q_skew_profile,  # r5 new: heavy-hitter profiler
         "profile_columns": q_profile_columns,  # r5 new: column stats
@@ -2641,6 +2679,55 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN lsz USING (lk) JOIN rsz USING (rk)
             WHERE CAST(n_common AS DOUBLE) / (sz_l + sz_r - n_common)
                   >= 0.8
+        """,
+        "containment_dedup": """
+            -- Broder containment |A∩B|/|A| >= 0.9 over token-3-gram
+            -- shingle sets; containers (1000000+k) concatenate docs
+            -- 3k..3k+2 in doc_id order — same construction as the
+            -- Spark side; container = larger shingle set per pair
+            WITH containers AS (
+              SELECT 1000000 + (doc_id // 3) AS doc_id,
+                     string_agg(text, ' ' ORDER BY doc_id) AS text
+              FROM documents WHERE doc_id < 30
+              GROUP BY doc_id // 3
+            ), base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM containers
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS t
+              FROM base
+            ), sh0 AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS s
+              FROM toks
+            ), sh AS (
+              SELECT sh0.* FROM sh0
+              JOIN (SELECT s FROM sh0 GROUP BY s
+                    HAVING COUNT(*) <= 1000) ok USING (s)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     COUNT(*) AS n_common
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CASE WHEN sa.sz < sb.sz THEN da ELSE db END AS doc_a,
+                   CASE WHEN sa.sz < sb.sz THEN db ELSE da END AS doc_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(n_common AS DOUBLE)
+                     / (CASE WHEN sa.sz < sb.sz
+                             THEN sa.sz ELSE sb.sz END) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE CAST(n_common AS DOUBLE)
+                    / (CASE WHEN sa.sz < sb.sz
+                            THEN sa.sz ELSE sb.sz END) >= 0.9
         """,
         "mad_outliers": """
             -- modified z-score per group; quantile_cont == Spark's

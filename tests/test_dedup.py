@@ -54,6 +54,43 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert (3, 4) not in pairs
 
 
+def test_containment_orients_small_inside_big(spark):
+    from logpipe_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = "prefix words here " + small + " plus a long unrelated tail " + (
+        "filler tokens repeated differently %d " % 7
+    ) * 5
+    rows = [
+        (10, small),                       # fully inside 20
+        (20, big),
+        (30, "nothing in common with anything else at all whatsoever"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    # contained doc is always doc_a, containment exact 1.0, and the
+    # low-Jaccard big/small pair IS found (the case Jaccard-0.8 misses)
+    assert out == {(10, 20): 1.0}
+
+
+def test_containment_tie_keeps_lower_key_as_container(spark):
+    from logpipe_spark.operators.dedup import containment_pairs
+
+    t = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        pd.DataFrame([(5, t), (9, t)], columns=["doc_id", "text"])
+    )
+    rows = containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # equal shingle sets: sz_a == sz_b → the otherwise-branch makes the
+    # lower key (da) the container, the higher key the contained side
+    assert (r["doc_a"], r["doc_b"], r["containment"]) == (9, 5, 1.0)
+
+
 def test_minhash_lsh_candidates_superset_of_true_dups(docs):
     cand = {
         (r["doc_a"], r["doc_b"])
