@@ -1046,6 +1046,38 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """Crawl URL canonicalization + URL-keyed dedup groups
+    (operators/urls.py:canonical_url/url_dedup). URLs are synthesized
+    from doc_id identically in both engines so every RFC-3986 nuisance
+    is planted: upper/lower scheme and host, explicit default ports,
+    trailing slashes, utm_* tracking params, unsorted param order, and
+    fragments. Each (doc_id % 50, doc_id % 2) group collapses to ONE
+    canonical form; n_dups/keep_id are integers both engines agree on."""
+    from logpipe_spark.operators.urls import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 4 < 2, F.lit("WWW.Example.COM")).otherwise(
+            F.lit("www.example.com")
+        ),
+        F.when(d % 2 == 0, F.lit(":80"))
+        .when(d % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(d % 5 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
 def q_containment_dedup(spark, sf_dir):
     """Asymmetric containment near-dup (operators/dedup.py:
     containment_pairs): Broder containment |A∩B|/|A| ≥ 0.9 — the
@@ -2153,24 +2185,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     translate_charset) past the cap under the same rule.
 
     Round 5 produced MORE new queries than one 50-slot driver window
-    can check, so four r5-new entries deliberately overflow to
-    positions 51-54 and take their first driver verdict in r6:
-    `containment_dedup`, `shuffle_corpus`, `skew_profile`, and
-    `profile_columns`. The latter three are the overflow picks because
-    they are the simplest plans in the new set (a seeded hash-order
-    range shard, one TakeOrdered pass, one Aggregate pass —
+    can check, so five r5-new entries deliberately overflow to
+    positions 51-55 and take their first driver verdict in r6:
+    `containment_dedup`, `url_dedup`, `shuffle_corpus`, `skew_profile`,
+    and `profile_columns`. The latter three are the overflow picks
+    because they are the simplest plans in the new set (a seeded
+    hash-order range shard, one TakeOrdered pass, one Aggregate pass —
     operators/corpus.py shuffle_corpus, operators/profile.py:17,56 —
     untouched since they went green in this round's local harness);
-    `containment_dedup` overflows because it landed after the window
-    froze and reuses the plan shape of the already-in-window
-    `dedup_ngram_jaccard` verbatim (same explode / hot-shingle cap /
-    per-shingle self-join — only the final orientation + divisor
-    differ). Each is pytest-covered (tests/test_corpus.py,
-    tests/test_profile.py, tests/test_dedup.py), and the full local
-    oracle sweep (scripts/cross_sf_check.py, the driver-equivalent
-    value-hash compare) is green for all four at ALL THREE scale
-    factors. Every other r5-new or r5-changed query sits inside the
-    50-slot window; window tail (pos 50) = remove_dup_spans.
+    `containment_dedup` and `url_dedup` overflow because they landed
+    after the window froze and reuse already-verified plan shapes
+    verbatim (`containment_dedup` = the in-window `dedup_ngram_jaccard`
+    explode / hot-shingle cap / per-shingle self-join, only the final
+    orientation + divisor differ; `url_dedup` = a map-only regexp chain
+    + ONE hash groupBy, the same envelope as the in-window
+    `dedup_exact`/`pii_redact` family). Each is pytest-covered
+    (tests/test_corpus.py, tests/test_profile.py, tests/test_dedup.py,
+    tests/test_urls.py), and the full local oracle sweep
+    (scripts/cross_sf_check.py, the driver-equivalent value-hash
+    compare) is green for all five at ALL THREE scale factors. Every
+    other r5-new or r5-changed query sits inside the 50-slot window;
+    window tail (pos 50) = remove_dup_spans.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -2225,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,  # r5 new: span-level duplication stats
         "remove_dup_spans": q_remove_dup_spans,  # r5 new: span removal rewrite
         "containment_dedup": q_containment_dedup,  # r5 new: overflow pick, see docstring
+        "url_dedup": q_url_dedup,  # r5 new: overflow pick, see docstring
         "shuffle_corpus": q_shuffle_corpus,  # r5 new: deterministic shuffle order
         "skew_profile": q_skew_profile,  # r5 new: heavy-hitter profiler
         "profile_columns": q_profile_columns,  # r5 new: column stats
@@ -2679,6 +2715,67 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN lsz USING (lk) JOIN rsz USING (rk)
             WHERE CAST(n_common AS DOUBLE) / (sz_l + sz_r - n_common)
                   >= 0.8
+        """,
+        "url_dedup": """
+            -- same synthetic URL construction as the Spark side, then
+            -- RFC-3986 canonicalization: lower scheme/host, strip
+            -- default ports + fragments + utm_*/click params, sort
+            -- remaining params, collapse trailing slashes
+            WITH synth AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                || '://' ||
+                (CASE WHEN doc_id % 4 < 2 THEN 'WWW.Example.COM'
+                      ELSE 'www.example.com' END) ||
+                (CASE WHEN doc_id % 2 = 0 THEN ':80'
+                      WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+                '/Articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+                (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+                (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+                      ELSE '?a=1&b=2' END) ||
+                (CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END)
+                AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                COALESCE(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:(\\d+)', 1), '')
+                  AS port,
+                COALESCE(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')
+                  AS rawpath,
+                COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+              FROM synth
+            ), canon AS (
+              SELECT doc_id,
+                scheme || '://' || host ||
+                (CASE WHEN port = ''
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END) ||
+                (CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(rawpath, '/+$', '') END) ||
+                (CASE WHEN qc = '' THEN '' ELSE '?' || qc END)
+                AS url_canon
+              FROM (
+                SELECT *, array_to_string(list_sort(list_filter(
+                         string_split(q, '&'),
+                         p -> p <> '' AND NOT starts_with(p, 'utm_')
+                              AND NOT (string_split(p, '=')[1] IN
+                                ('fbclid','gclid','msclkid','ref')))),
+                       '&') AS qc
+                FROM parts
+              )
+            )
+            SELECT url_canon,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM canon GROUP BY url_canon
         """,
         "containment_dedup": """
             -- Broder containment |A∩B|/|A| >= 0.9 over token-3-gram

@@ -359,7 +359,7 @@ def main() -> None:
         "grouped_topk", "seq_ngrams", "cluster_split", "url_filter",
         "classifier_score", "triangle_count", "weighted_sample",
         "html_extract", "distribution_shift", "collocations",
-        "mad_outliers", "fuzzy_join",
+        "mad_outliers", "fuzzy_join", "containment_dedup", "url_dedup",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -155,3 +155,76 @@ def url_blocklist_filter(
         )
         out = out.join(bl, suffix_k == F.col("_blocked_domain"), "left_anti")
     return out
+
+
+#: query parameters that identify click tracking, not content — stripped
+#: during canonicalization (utm_* is matched by prefix separately).
+_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup — the normalization
+    every web pipeline (C4, CCNet, RefinedWeb) applies before URL-keyed
+    dedup, since crawls reach the same page as ``HTTP://Example.COM:80/a/``
+    and ``http://example.com/a?utm_source=feed``:
+
+    - scheme and host lowercased (scheme and host are case-insensitive
+      per RFC 3986 §6.2.2.1; path is NOT — ``/A`` and ``/a`` differ)
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+      non-default ports kept
+    - fragment dropped (never sent to the server)
+    - tracking query parameters removed (``utm_*`` by prefix, plus
+      ``fbclid``/``gclid``/``msclkid``/``ref``), remaining parameters
+      sorted byte-wise so parameter order doesn't split a dedup group
+    - one-or-more trailing slashes collapsed; empty path → ``/``
+
+    Pure RE2-safe regexp + array expressions — map-only whole-stage
+    codegen, and reproducible bit-for-bit in the DuckDB oracle."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = _host(url)
+    port = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:(\d+)", 1
+    )
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.startswith("utm_")
+        & ~F.split(p, "=").getItem(0).isin(*_TRACKING_PARAMS),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    querypart = F.when(qcanon == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qcanon)
+    )
+    return F.concat(scheme, F.lit("://"), host, portpart, path, querypart)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", key_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed dedup groups over canonical URLs: one row per canonical
+    form with the group size and the kept (lowest-key) member. The
+    cheapest dedup a crawl pipeline runs — before any text is parsed —
+    and at 100 TB the shape is optimal: canonicalization is map-only,
+    then ONE hash shuffle on the canonical string with map-side partial
+    aggregation; no text column ever moves."""
+    return (
+        df.select(
+            canonical_url(F.col(url_col)).alias("url_canon"),
+            F.col(key_col).cast("long").alias("_k"),
+        )
+        .groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("_k").alias("keep_id"),
+        )
+    )

@@ -158,3 +158,46 @@ def test_fuzz_parity_url_regexes_spark_vs_duckdb(spark):
                      url.lower().startswith("https://"))
     mism = {k for k in got if got[k] != want[k]}
     assert not mism, {k: (rows[k][1], got[k], want[k]) for k in list(mism)[:3]}
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # (raw, canonical)
+        ("HTTP://Example.COM:80/a/", "http://example.com/a"),
+        ("http://example.com/a?utm_source=feed", "http://example.com/a"),
+        ("https://example.com:443/a?b=2&a=1#frag", "https://example.com/a?a=1&b=2"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),  # non-default port kept
+        ("http://example.com", "http://example.com/"),  # empty path → /
+        ("http://example.com/A", "http://example.com/A"),  # path case preserved
+        ("http://example.com/a?fbclid=x&gclid=y&keep=1", "http://example.com/a?keep=1"),
+        ("http://example.com/a///", "http://example.com/a"),
+        ("http://example.com/?ref=hn", "http://example.com/"),
+    ]
+
+    def test_hand_cases(self, spark):
+        from logpipe_spark.operators.urls import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)], "i long, url string"
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (self.CASES[i][0], got[i], want)
+
+    def test_url_dedup_groups(self, spark):
+        from logpipe_spark.operators.urls import url_dedup
+
+        rows = [
+            (0, "HTTP://A.com:80/x/?utm_a=1"),
+            (1, "http://a.com/x"),
+            (2, "http://a.com/x?b=1"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {r["url_canon"]: (r["n_dups"], r["keep_id"]) for r in url_dedup(df).collect()}
+        assert out == {
+            "http://a.com/x": (2, 0),
+            "http://a.com/x?b=1": (1, 2),
+        }
