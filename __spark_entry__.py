@@ -1046,6 +1046,26 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def q_clean_text(spark, sf_dir):
+    """Unicode NFC + control-char + whitespace normalization
+    (operators/corpus.py:clean_text). The planted suffix puts every
+    branch in play: a decomposed e+U+0301 and A+U+030A (composed by
+    NFC), a BEL control (deleted), tab/CRLF runs and double spaces
+    (collapsed), trailing whitespace (trimmed). Spark normalizes via an
+    Arrow-batched pandas UDF over unicodedata; DuckDB via nfc_normalize
+    (utf8proc) — NFC is Unicode-stable, so they agree byte-for-byte."""
+    from logpipe_spark.operators.corpus import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    # decomposed base+combining sequences, written as escapes so no
+    # editor/tool silently recomposes them in the source file
+    suffix = " e\u0301 A\u030a \x07ding\tcr\r\nend  "
+    synth = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text")
+    )
+    return clean_text(synth).select("doc_id", "text_clean")
+
+
 def q_url_dedup(spark, sf_dir):
     """Crawl URL canonicalization + URL-keyed dedup groups
     (operators/urls.py:canonical_url/url_dedup). URLs are synthesized
@@ -2185,25 +2205,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     translate_charset) past the cap under the same rule.
 
     Round 5 produced MORE new queries than one 50-slot driver window
-    can check, so five r5-new entries deliberately overflow to
-    positions 51-55 and take their first driver verdict in r6:
-    `containment_dedup`, `url_dedup`, `shuffle_corpus`, `skew_profile`,
-    and `profile_columns`. The latter three are the overflow picks
-    because they are the simplest plans in the new set (a seeded
-    hash-order range shard, one TakeOrdered pass, one Aggregate pass —
-    operators/corpus.py shuffle_corpus, operators/profile.py:17,56 —
-    untouched since they went green in this round's local harness);
-    `containment_dedup` and `url_dedup` overflow because they landed
-    after the window froze and reuse already-verified plan shapes
-    verbatim (`containment_dedup` = the in-window `dedup_ngram_jaccard`
-    explode / hot-shingle cap / per-shingle self-join, only the final
-    orientation + divisor differ; `url_dedup` = a map-only regexp chain
-    + ONE hash groupBy, the same envelope as the in-window
-    `dedup_exact`/`pii_redact` family). Each is pytest-covered
-    (tests/test_corpus.py, tests/test_profile.py, tests/test_dedup.py,
-    tests/test_urls.py), and the full local oracle sweep
-    (scripts/cross_sf_check.py, the driver-equivalent value-hash
-    compare) is green for all five at ALL THREE scale factors. Every
+    can check, so six r5-new entries deliberately overflow to
+    positions 51-56 and take their first driver verdict in r6:
+    `containment_dedup`, `url_dedup`, `clean_text`, `shuffle_corpus`,
+    `skew_profile`, and `profile_columns`. The last three are the
+    overflow picks because they are the simplest plans in the new set
+    (a seeded hash-order range shard, one TakeOrdered pass, one
+    Aggregate pass — operators/corpus.py shuffle_corpus,
+    operators/profile.py:17,56 — untouched since they went green in
+    this round's local harness); the first three overflow because they
+    landed after the window froze and reuse already-verified plan
+    shapes verbatim (`containment_dedup` = the in-window
+    `dedup_ngram_jaccard` explode / hot-shingle cap / per-shingle
+    self-join, only the final orientation + divisor differ; `url_dedup`
+    = a map-only regexp chain + ONE hash groupBy, the same envelope as
+    the in-window `dedup_exact`/`pii_redact` family; `clean_text` = a
+    map-only pandas-UDF + regexp chain, the same envelope as the
+    in-window `parse_extract_pandas`/`pii_redact`). Each is
+    pytest-covered (tests/test_corpus.py, tests/test_profile.py,
+    tests/test_dedup.py, tests/test_urls.py), and the full local oracle
+    sweep (scripts/cross_sf_check.py, the driver-equivalent value-hash
+    compare) is green for all six at ALL THREE scale factors. Every
     other r5-new or r5-changed query sits inside the 50-slot window;
     window tail (pos 50) = remove_dup_spans.
     """
@@ -2261,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,  # r5 new: span removal rewrite
         "containment_dedup": q_containment_dedup,  # r5 new: overflow pick, see docstring
         "url_dedup": q_url_dedup,  # r5 new: overflow pick, see docstring
+        "clean_text": q_clean_text,  # r5 new: overflow pick, see docstring
         "shuffle_corpus": q_shuffle_corpus,  # r5 new: deterministic shuffle order
         "skew_profile": q_skew_profile,  # r5 new: heavy-hitter profiler
         "profile_columns": q_profile_columns,  # r5 new: column stats
@@ -2715,6 +2738,19 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN lsz USING (lk) JOIN rsz USING (rk)
             WHERE CAST(n_common AS DOUBLE) / (sz_l + sz_r - n_common)
                   >= 0.8
+        """,
+        "clean_text": """
+            -- same planted suffix (decomposed marks via chr(), BEL,
+            -- tab/CRLF runs, trailing spaces), NFC via utf8proc,
+            -- then the same two explicit-class regex passes
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                     nfc_normalize(text || ' e' || chr(769) || ' A'
+                       || chr(778) || ' ' || chr(7) || 'ding' || chr(9)
+                       || 'cr' || chr(13) || chr(10) || 'end  '),
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                     '[ \\t\\n\\r]+', ' ', 'g')) AS text_clean
+            FROM documents
         """,
         "url_dedup": """
             -- same synthetic URL construction as the Spark side, then

@@ -360,6 +360,7 @@ def main() -> None:
         "classifier_score", "triangle_count", "weighted_sample",
         "html_extract", "distribution_shift", "collocations",
         "mad_outliers", "fuzzy_join", "containment_dedup", "url_dedup",
+        "clean_text",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -12,6 +12,8 @@ shards — the custom-stateful escape hatch, with a recursive-CTE SQL mirror.
 
 from __future__ import annotations
 
+import unicodedata
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -544,6 +546,53 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_ipv4", F.regexp_count(t, F.lit(PII_PATTERNS["ipv4"]))) \
         .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PATTERNS["phone"]))) \
         .withColumn("text_redacted", redacted)
+
+
+#: C0 controls EXCEPT tab/newline/CR (which are whitespace, normalized in
+#: the second step — deleting them outright would weld adjacent words),
+#: plus DEL. Explicit ranges, identical under Java regex and RE2.
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+#: explicit whitespace class — NOT \s, whose membership differs between
+#: Java regex (includes \x0b) and RE2; \x0b/\f are already gone by the
+#: time this runs.
+_WS_RE = r"[ \t\n\r]+"
+
+
+def clean_text(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Unicode + whitespace text normalization — the first transform of
+    every published cleaning recipe (C4, CCNet, Dolma all NFC- or
+    NFKC-normalize before tokenizing, else ``é`` composed and ``e``+U+0301
+    decomposed count as different types everywhere downstream):
+
+    1. NFC Unicode normalization (canonical composition);
+    2. non-whitespace C0 control characters and DEL deleted;
+    3. whitespace runs (space/tab/newline/CR) collapsed to one space and
+       trimmed.
+
+    Steps 2-3 are JVM ``regexp_replace`` codegen. Step 1 is the one
+    genuinely non-SQL primitive — an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (the documented slow-path escape hatch;
+    there is no JVM-side normalizer exposed to Spark SQL). Map-only,
+    zero shuffles, embarrassingly parallel at 100 TB; the pandas batch
+    is string-in/string-out with no state. The DuckDB oracle mirrors
+    step 1 with ``nfc_normalize`` (utf8proc) — NFC is a Unicode-stable
+    algorithm, so the two implementations agree byte-for-byte."""
+    nfc = F.pandas_udf(
+        lambda s: s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        ),
+        T.StringType(),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(F.col(text_col)), _CTRL_RE, ""),
+            _WS_RE,
+            " ",
+        )
+    )
+    return docs.withColumn(out_col, cleaned)
 
 
 def _quota_prefiltered(

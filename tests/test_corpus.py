@@ -774,3 +774,22 @@ def test_corpus_funnel_crawl_gates(spark):
     keys = list(f)
     assert keys[:5] == ["input", "url_blocklist", "html_extract",
                         "quality_gate", "classifier_gate"]
+
+
+def test_clean_text_nfc_controls_whitespace(spark):
+    from logpipe_spark.operators.corpus import clean_text
+
+    rows = [
+        (0, "café time"),          # decomposed -> composed
+        (1, "a\x07b\x00c"),                      # bare controls deleted
+        (2, "  a\t\tb\r\nc  "),                  # runs collapse, trim
+        (3, "already clean"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_clean"] for r in clean_text(df).collect()}
+    assert got[0] == "caf\u00e9 time"
+    assert got[1] == "abc"
+    assert got[2] == "a b c"
+    assert got[3] == "already clean"
+    assert got[4] is None
