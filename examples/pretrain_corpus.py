@@ -3,7 +3,8 @@
 the corpus-management operators chained the way a production data
 pipeline runs them (C4/FineWeb/Dolma shape):
 
-    URL blocklist → HTML extract → quality gate → classifier gate →
+    URL blocklist → HTML extract → NFC clean → quality gate →
+    classifier gate →
     exact dedup → near-dup canonicalization → benchmark
     decontamination → PII scrub → line dedup → temperature mixing →
     chunk → pack → deterministic shuffle order

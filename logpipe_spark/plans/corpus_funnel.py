@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from logpipe_spark.operators.corpus import (
     chunk_documents,
+    clean_text,
     corpus_filter,
     decontaminate,
     pii_redact,
@@ -50,10 +51,11 @@ def run_corpus_funnel(
     url_blocklist: DataFrame | None = None,
     classifier_threshold: float | None = None,
 ) -> dict:
-    """[URL blocklist →] [HTML extract →] quality gate → [classifier
-    gate →] exact dedup → near-dup keep-best → decontaminate → PII
-    scrub → line dedup → temperature mix → chunk → pack → shuffle
-    order. Returns {stage: count} (forcing each stage — this is the
+    """[URL blocklist →] [HTML extract →] clean text → quality gate →
+    [classifier gate →] exact dedup → near-dup keep-best →
+    decontaminate → PII scrub → line dedup → temperature mix → chunk →
+    pack → shuffle order.
+    Returns {stage: count} (forcing each stage — this is the
     audit/benchmark entry; a production run would fuse stages it does
     not need counts for).
 
@@ -81,6 +83,19 @@ def run_corpus_funnel(
             .localCheckpoint()
         )
         funnel["html_extract"] = docs.count()
+
+    # normalization BEFORE any text-keyed stage: the quality heuristics,
+    # dedup fingerprints, and shingles downstream must see one canonical
+    # byte form, or composed-vs-decomposed variants of the same document
+    # defeat exact dedup entirely. Map-only — the count never changes, the
+    # stage is in the funnel because every recipe documents it.
+    docs = (
+        clean_text(docs)
+        .drop("text")
+        .withColumnRenamed("text_clean", "text")
+        .localCheckpoint()
+    )
+    funnel["clean_text"] = docs.count()
 
     gated = (
         corpus_filter(docs)

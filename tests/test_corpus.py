@@ -595,9 +595,10 @@ def test_corpus_funnel_invariants(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     f = run_corpus_funnel(spark, docs.repartition(8), eval_docs=ev)
-    stages = ["input", "quality_gate", "exact_dedup", "neardup_keep_best",
-              "decontaminate", "pii_line_dedup", "temperature_mix"]
-    assert list(f)[:7] == stages
+    stages = ["input", "clean_text", "quality_gate", "exact_dedup",
+              "neardup_keep_best", "decontaminate", "pii_line_dedup",
+              "temperature_mix"]
+    assert list(f)[:8] == stages
     counts = [f[s] for s in stages]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert f["input"] > f["temperature_mix"] > 0
@@ -772,8 +773,9 @@ def test_corpus_funnel_crawl_gates(spark):
     assert f["shuffled"] > 0
     # stage keys appear in C4/RefinedWeb order
     keys = list(f)
-    assert keys[:5] == ["input", "url_blocklist", "html_extract",
-                        "quality_gate", "classifier_gate"]
+    assert keys[:6] == ["input", "url_blocklist", "html_extract",
+                        "clean_text", "quality_gate", "classifier_gate"]
+    assert f["clean_text"] == f["html_extract"]  # map-only, count-preserving
 
 
 def test_clean_text_nfc_controls_whitespace(spark):
