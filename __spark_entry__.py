@@ -2799,12 +2799,12 @@ def oracle_sql() -> dict[str, str]:
                 (CASE WHEN qc = '' THEN '' ELSE '?' || qc END)
                 AS url_canon
               FROM (
-                SELECT *, array_to_string(list_sort(list_filter(
+                SELECT *, COALESCE(array_to_string(list_sort(list_filter(
                          string_split(q, '&'),
                          p -> p <> '' AND NOT starts_with(p, 'utm_')
                               AND NOT (string_split(p, '=')[1] IN
                                 ('fbclid','gclid','msclkid','ref')))),
-                       '&') AS qc
+                       '&'), '') AS qc
                 FROM parts
               )
             )

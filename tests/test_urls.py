@@ -201,3 +201,71 @@ class TestCanonicalUrl:
             "http://a.com/x": (2, 0),
             "http://a.com/x?b=1": (1, 2),
         }
+
+
+def test_fuzz_parity_canonical_url_spark_vs_duckdb(spark):
+    """Seeded random URL-ish strings through Spark canonical_url vs the
+    DuckDB canonicalization chain (the url_dedup oracle's construction,
+    COALESCE'd so no-match extracts behave like Spark's '') — guards the
+    Java-vs-RE2 seam of the new op on garbage as well as well-formed
+    input."""
+    import random
+
+    import duckdb
+
+    from logpipe_spark.operators.urls import canonical_url
+
+    rng = random.Random(0xCAFE)
+    atoms = [
+        "https://", "HTTP://", "http://", "x-2.proto://", "://",
+        "Example.COM", "WWW.example.com", "a.b.c.d", "host", ":80",
+        ":443", ":8080", ":x", "/", "/Path", "/a/b/", "//", "///",
+        "?", "?a=1", "?utm_source=x", "&utm_medium=y", "&b=2", "&a=1",
+        "&fbclid=z", "&ref=hn", "&", "=", "#frag", "#", "", "host:",
+    ]
+    rows = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 8))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", rows)
+    want = dict(con.execute(r"""
+        WITH parts AS (
+          SELECT id,
+            COALESCE(lower(regexp_extract(url,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
+            COALESCE(lower(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)), '') AS host,
+            COALESCE(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:(\d+)', 1), '') AS port,
+            COALESCE(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS rawpath,
+            COALESCE(regexp_extract(url, '\?([^#]*)', 1), '') AS q
+          FROM u
+        )
+        SELECT id,
+          scheme || '://' || host ||
+          (CASE WHEN port = ''
+                  OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+                THEN '' ELSE ':' || port END) ||
+          (CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+                THEN '/' ELSE regexp_replace(rawpath, '/+$', '') END) ||
+          (CASE WHEN qc = '' THEN '' ELSE '?' || qc END)
+        FROM (
+          SELECT *, COALESCE(array_to_string(list_sort(list_filter(
+                   string_split(q, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_')
+                        AND NOT (string_split(p, '=')[1] IN
+                          ('fbclid','gclid','msclkid','ref')))), '&'), '') AS qc
+          FROM parts
+        )
+    """).fetchall())
+    assert got == want
