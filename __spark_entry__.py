@@ -1046,6 +1046,41 @@ def q_classifier_score(spark, sf_dir):
     )
 
 
+def _transcript_turns(spark, sf_dir):
+    """Shared turn-shaped input for the transcript operators: events as
+    (conv_id=user_id, turn order=event_id, role=event_type,
+    text='type: props') — the same construction in the SQL oracles."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat(F.col("event_type"), F.lit(": "), F.col("props")).alias("text"),
+    )
+
+
+def q_assemble_conversations(spark, sf_dir):
+    """Row-per-turn → document-per-conversation reconstruction
+    (operators/transcripts.py:assemble_documents) — the move every
+    document-level stage needs on a transcript corpus. Deterministic
+    order via array_sort over (turn_idx, text) structs (collect_list
+    alone is partition-arrival-ordered); oracle = string_agg ORDER BY."""
+    from logpipe_spark.operators.transcripts import assemble_documents
+
+    return assemble_documents(_transcript_turns(spark, sf_dir))
+
+
+def q_turn_spans(spark, sf_dir):
+    """Loss-mask spans (operators/transcripts.py:turn_spans): 0-based
+    half-open [start, end) char offsets of each turn inside its
+    assembled conversation — exact-integer prefix sums over the
+    conversation window, doc[start:end] == turn text by construction
+    (invariant asserted in tests/test_transcripts.py)."""
+    from logpipe_spark.operators.transcripts import turn_spans
+
+    return turn_spans(_transcript_turns(spark, sf_dir))
+
+
 def q_clean_text(spark, sf_dir):
     """Unicode NFC + control-char + whitespace normalization
     (operators/corpus.py:clean_text). The planted suffix puts every
@@ -2205,15 +2240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     translate_charset) past the cap under the same rule.
 
     Round 5 produced MORE new queries than one 50-slot driver window
-    can check, so six r5-new entries deliberately overflow to
-    positions 51-56 and take their first driver verdict in r6:
-    `containment_dedup`, `url_dedup`, `clean_text`, `shuffle_corpus`,
+    can check, so eight r5-new entries deliberately overflow to
+    positions 51-58 and take their first driver verdict in r6:
+    `containment_dedup`, `url_dedup`, `clean_text`,
+    `assemble_conversations`, `turn_spans`, `shuffle_corpus`,
     `skew_profile`, and `profile_columns`. The last three are the
     overflow picks because they are the simplest plans in the new set
     (a seeded hash-order range shard, one TakeOrdered pass, one
     Aggregate pass — operators/corpus.py shuffle_corpus,
     operators/profile.py:17,56 — untouched since they went green in
-    this round's local harness); the first three overflow because they
+    this round's local harness); the first five overflow because they
     landed after the window froze and reuse already-verified plan
     shapes verbatim (`containment_dedup` = the in-window
     `dedup_ngram_jaccard` explode / hot-shingle cap / per-shingle
@@ -2221,13 +2257,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     = a map-only regexp chain + ONE hash groupBy, the same envelope as
     the in-window `dedup_exact`/`pii_redact` family; `clean_text` = a
     map-only pandas-UDF + regexp chain, the same envelope as the
-    in-window `parse_extract_pandas`/`pii_redact`). Each is
-    pytest-covered (tests/test_corpus.py, tests/test_profile.py,
-    tests/test_dedup.py, tests/test_urls.py), and the full local oracle
-    sweep (scripts/cross_sf_check.py, the driver-equivalent value-hash
-    compare) is green for all six at ALL THREE scale factors. Every
-    other r5-new or r5-changed query sits inside the 50-slot window;
-    window tail (pos 50) = remove_dup_spans.
+    in-window `parse_extract_pandas`/`pii_redact`;
+    `assemble_conversations` = one hash groupBy with array_sort'd
+    collect_list, the `date_rollup`/`agg_persink` envelope;
+    `turn_spans` = a conversation-partitioned prefix-sum window, the
+    `lead_lag`/`sessionize` envelope). Each is pytest-covered
+    (tests/test_corpus.py, tests/test_profile.py, tests/test_dedup.py,
+    tests/test_urls.py, tests/test_transcripts.py — including the
+    doc[start:end] == turn-text slice invariant), and the full local
+    oracle sweep (scripts/cross_sf_check.py, the driver-equivalent
+    value-hash compare) is green for all eight at ALL THREE scale
+    factors. Every other r5-new or r5-changed query sits inside the
+    50-slot window; window tail (pos 50) = remove_dup_spans.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -2284,6 +2325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": q_containment_dedup,  # r5 new: overflow pick, see docstring
         "url_dedup": q_url_dedup,  # r5 new: overflow pick, see docstring
         "clean_text": q_clean_text,  # r5 new: overflow pick, see docstring
+        "assemble_conversations": q_assemble_conversations,  # r5 new: overflow pick
+        "turn_spans": q_turn_spans,  # r5 new: overflow pick
         "shuffle_corpus": q_shuffle_corpus,  # r5 new: deterministic shuffle order
         "skew_profile": q_skew_profile,  # r5 new: heavy-hitter profiler
         "profile_columns": q_profile_columns,  # r5 new: column stats
@@ -2738,6 +2781,39 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN lsz USING (lk) JOIN rsz USING (rk)
             WHERE CAST(n_common AS DOUBLE) / (sz_l + sz_r - n_common)
                   >= 0.8
+        """,
+        "assemble_conversations": """
+            -- same turn construction, then ordered aggregation
+            WITH turns AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     event_type || ': ' || props AS text
+              FROM events
+            )
+            SELECT conv_id,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS doc,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM turns GROUP BY conv_id
+        """,
+        "turn_spans": """
+            -- exact-integer prefix sums: start = total chars+seps of
+            -- earlier turns, end = start + own length (0-based,
+            -- half-open, sep = one newline)
+            WITH turns AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     event_type AS role,
+                     event_type || ': ' || props AS text
+              FROM events
+            )
+            SELECT conv_id, turn_idx, role,
+                   CAST(COALESCE(SUM(length(text) + 1) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start,
+                   CAST(COALESCE(SUM(length(text) + 1) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + length(text) AS BIGINT) AS "end"
+            FROM turns
         """,
         "clean_text": """
             -- same planted suffix (decomposed marks via chr(), BEL,

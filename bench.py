@@ -360,7 +360,7 @@ def main() -> None:
         "classifier_score", "triangle_count", "weighted_sample",
         "html_extract", "distribution_shift", "collocations",
         "mad_outliers", "fuzzy_join", "containment_dedup", "url_dedup",
-        "clean_text",
+        "clean_text", "assemble_conversations", "turn_spans",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

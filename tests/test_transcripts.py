@@ -1,0 +1,50 @@
+"""Conversation assembly + loss-mask spans (operators/transcripts.py)."""
+
+from pyspark.sql import functions as F
+
+from logpipe_spark.operators.transcripts import assemble_documents, turn_spans
+
+ROWS = [
+    # (conv_id, turn_idx, role, text)
+    (1, 0, "user", "hi"),
+    (1, 1, "assistant", "hello there"),
+    (1, 2, "user", ""),          # empty turn still owns a span
+    (1, 3, "assistant", "bye"),
+    (2, 7, "user", "solo"),      # non-contiguous order values are fine
+]
+SCHEMA = "conv_id long, turn_idx long, role string, text string"
+
+
+def test_assemble_order_and_counts(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {r["conv_id"]: (r["doc"], r["n_turns"])
+           for r in assemble_documents(df).collect()}
+    assert got[1] == ("hi\nhello there\n\nbye", 4)
+    assert got[2] == ("solo", 1)
+
+
+def test_assemble_deterministic_under_repartition(spark):
+    """collect_list alone is partition-arrival-ordered; the array_sort
+    contract must make assembly independent of physical layout."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    a = assemble_documents(df.repartition(7)).collect()
+    b = assemble_documents(df.coalesce(1)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_turn_spans_slice_invariant(spark):
+    """doc[start:end] == turn text, for every turn — the property a
+    loss mask depends on."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    docs = {r["conv_id"]: r["doc"] for r in assemble_documents(df).collect()}
+    spans = turn_spans(df).collect()
+    texts = {(c, t): x for c, t, _, x in ROWS}
+    assert len(spans) == len(ROWS)
+    for r in spans:
+        doc = docs[r["conv_id"]]
+        assert doc[r["start"]:r["end"]] == texts[(r["conv_id"], r["turn_idx"])]
+    # assistant-mask view: spans are disjoint and in order per conv
+    conv1 = sorted(
+        [(r["start"], r["end"]) for r in spans if r["conv_id"] == 1]
+    )
+    assert all(a_end <= b_start for (_, a_end), (b_start, _) in zip(conv1, conv1[1:]))
