@@ -48,3 +48,45 @@ def test_turn_spans_slice_invariant(spark):
         [(r["start"], r["end"]) for r in spans if r["conv_id"] == 1]
     )
     assert all(a_end <= b_start for (_, a_end), (b_start, _) in zip(conv1, conv1[1:]))
+
+
+def test_fuzz_assemble_and_spans_vs_python_oracle(spark):
+    """Seeded random conversations (adversarial texts: unicode, empties,
+    newlines INSIDE turns, non-contiguous turn indexes) — assembled doc
+    and every span must match a pure-Python oracle, and the slice
+    invariant must hold even when turn text contains the separator."""
+    import random
+
+    rng = random.Random(0x5EED)
+    chars = list("ab 0.|$*?\t") + ["é", "模", "\n", ""]
+    rows = []
+    for conv in range(40):
+        idxs = rng.sample(range(100), rng.randint(1, 12))
+        for t in idxs:
+            rows.append(
+                (conv, t, rng.choice(["user", "assistant"]),
+                 "".join(rng.choice(chars) for _ in range(rng.randint(0, 12))))
+            )
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    # python oracle
+    convs = {}
+    for c, t, r, x in rows:
+        convs.setdefault(c, []).append((t, x))
+    want_docs = {c: "\n".join(x for _, x in sorted(ts)) for c, ts in convs.items()}
+    want_spans = {}
+    for c, ts in convs.items():
+        off = 0
+        for t, x in sorted(ts):
+            want_spans[(c, t)] = (off, off + len(x))
+            off += len(x) + 1
+
+    got_docs = {r["conv_id"]: r["doc"] for r in assemble_documents(df).collect()}
+    assert got_docs == want_docs
+    got = {(r["conv_id"], r["turn_idx"]): (r["start"], r["end"])
+           for r in turn_spans(df).collect()}
+    assert got == want_spans
+    # slice invariant (doc may contain '\n' inside turns — spans still exact)
+    texts = {(c, t): x for c, t, _, x in rows}
+    for (c, t), (s, e) in got.items():
+        assert got_docs[c][s:e] == texts[(c, t)]
