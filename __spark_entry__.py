@@ -1081,6 +1081,24 @@ def q_turn_spans(spark, sf_dir):
     return turn_spans(_transcript_turns(spark, sf_dir))
 
 
+def q_remove_eval_spans(spark, sf_dir):
+    """Span-level decontamination (operators/corpus.py:remove_eval_spans)
+    — the surgical sibling of q_decontaminate: same mod-7 eval set, but
+    contaminated 8-gram spans are REMOVED from the corpus docs instead of
+    flagging whole documents. Corpus side = doc_id % 7 != 0 (eval docs
+    excluded — they would trivially self-remove). The fixture's planted
+    near-duplicates make real removals at every sf; untouched docs pass
+    through with their full token reconstruction."""
+    from logpipe_spark.operators.corpus import remove_eval_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return remove_eval_spans(corpus, ev, n=8)
+
+
 def q_clean_text(spark, sf_dir):
     """Unicode NFC + control-char + whitespace normalization
     (operators/corpus.py:clean_text). The planted suffix puts every
@@ -2240,16 +2258,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     translate_charset) past the cap under the same rule.
 
     Round 5 produced MORE new queries than one 50-slot driver window
-    can check, so eight r5-new entries deliberately overflow to
-    positions 51-58 and take their first driver verdict in r6:
+    can check, so nine r5-new entries deliberately overflow to
+    positions 51-59 and take their first driver verdict in r6:
     `containment_dedup`, `url_dedup`, `clean_text`,
-    `assemble_conversations`, `turn_spans`, `shuffle_corpus`,
-    `skew_profile`, and `profile_columns`. The last three are the
-    overflow picks because they are the simplest plans in the new set
-    (a seeded hash-order range shard, one TakeOrdered pass, one
-    Aggregate pass — operators/corpus.py shuffle_corpus,
+    `assemble_conversations`, `turn_spans`, `remove_eval_spans`,
+    `shuffle_corpus`, `skew_profile`, and `profile_columns`. The last
+    three are the overflow picks because they are the simplest plans in
+    the new set (a seeded hash-order range shard, one TakeOrdered pass,
+    one Aggregate pass — operators/corpus.py shuffle_corpus,
     operators/profile.py:17,56 — untouched since they went green in
-    this round's local harness); the first five overflow because they
+    this round's local harness); the first six overflow because they
     landed after the window froze and reuse already-verified plan
     shapes verbatim (`containment_dedup` = the in-window
     `dedup_ngram_jaccard` explode / hot-shingle cap / per-shingle
@@ -2261,14 +2279,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `assemble_conversations` = one hash groupBy with array_sort'd
     collect_list, the `date_rollup`/`agg_persink` envelope;
     `turn_spans` = a conversation-partitioned prefix-sum window, the
-    `lead_lag`/`sessionize` envelope). Each is pytest-covered
-    (tests/test_corpus.py, tests/test_profile.py, tests/test_dedup.py,
-    tests/test_urls.py, tests/test_transcripts.py — including the
-    doc[start:end] == turn-text slice invariant), and the full local
-    oracle sweep (scripts/cross_sf_check.py, the driver-equivalent
-    value-hash compare) is green for all eight at ALL THREE scale
-    factors. Every other r5-new or r5-changed query sits inside the
-    50-slot window; window tail (pos 50) = remove_dup_spans.
+    `lead_lag`/`sessionize` envelope; `remove_eval_spans` = the
+    in-window `remove_dup_spans` surgery with the span source swapped
+    for `decontaminate`'s broadcast eval shingles — both constituents
+    in-window). Each is pytest-covered (tests/test_corpus.py,
+    tests/test_profile.py, tests/test_dedup.py, tests/test_urls.py,
+    tests/test_transcripts.py — including the doc[start:end] ==
+    turn-text slice invariant), and the full local oracle sweep
+    (scripts/cross_sf_check.py, the driver-equivalent value-hash
+    compare) is green for all nine at ALL THREE scale factors. Every
+    other r5-new or r5-changed query sits inside the 50-slot window;
+    window tail (pos 50) = remove_dup_spans.
     """
     return {
         # -- priority 1: changed this round (re-verify) or brand new --
@@ -2327,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,  # r5 new: overflow pick, see docstring
         "assemble_conversations": q_assemble_conversations,  # r5 new: overflow pick
         "turn_spans": q_turn_spans,  # r5 new: overflow pick
+        "remove_eval_spans": q_remove_eval_spans,  # r5 new: overflow pick
         "shuffle_corpus": q_shuffle_corpus,  # r5 new: deterministic shuffle order
         "skew_profile": q_skew_profile,  # r5 new: heavy-hitter profiler
         "profile_columns": q_profile_columns,  # r5 new: column stats
@@ -2781,6 +2803,57 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN lsz USING (lk) JOIN rsz USING (rk)
             WHERE CAST(n_common AS DOUBLE) / (sz_l + sz_r - n_common)
                   >= 0.8
+        """,
+        "remove_eval_spans": """
+            -- same surgery as remove_dup_spans, span source = the
+            -- mod-7 eval set's DISTINCT 8-gram shingles; corpus side
+            -- excludes eval docs
+            WITH corpus AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS t
+              FROM documents WHERE doc_id % 7 <> 0
+            ), evset AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       range(1, greatest(len(list_filter(
+                         string_split(lower(text), ' '), x -> x <> ''))
+                         - 7, 0) + 1),
+                       i -> array_to_string(list_filter(
+                         string_split(lower(text), ' '),
+                         x -> x <> '')[i:i+7], ' ')))) AS s
+              FROM documents WHERE doc_id % 7 = 0
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS pos,
+                     unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 0) + 1),
+                       i -> array_to_string(t[i:i+7], ' '))) AS s
+              FROM corpus
+            ), covered AS (
+              SELECT DISTINCT doc_id, tpos FROM (
+                SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos
+                FROM spans SEMI JOIN evset USING (s)
+              )
+            ), tok_rows AS (
+              SELECT doc_id,
+                     unnest(range(1, len(t) + 1)) AS tpos,
+                     unnest(t) AS tok
+              FROM corpus
+            ), kept AS (
+              SELECT tr.doc_id, tr.tpos, tr.tok
+              FROM tok_rows tr ANTI JOIN covered c
+                ON tr.doc_id = c.doc_id AND tr.tpos = c.tpos
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+            LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
         """,
         "assemble_conversations": """
             -- same turn construction, then ordered aggregation

@@ -361,6 +361,7 @@ def main() -> None:
         "html_extract", "distribution_shift", "collocations",
         "mad_outliers", "fuzzy_join", "containment_dedup", "url_dedup",
         "clean_text", "assemble_conversations", "turn_spans",
+        "remove_eval_spans",
     ]
     qs = entry_mod.queries()
     for name in bench_queries:

@@ -233,6 +233,80 @@ HASH_SPACE = 1 << 60
 DEFAULT_WINDOW_CAP = 1 << 16
 
 
+def remove_eval_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level decontamination — the surgical half of the hygiene pass
+    whose doc-level flag is :func:`decontaminate`: instead of dropping a
+    lightly-contaminated document outright, REMOVE every token position
+    covered by an ``n``-gram that appears anywhere in the eval set and
+    keep the rest (the FineWeb-style rewrite, same surgery as
+    ``dedup.remove_dup_spans`` but with the eval set as the span source).
+
+    Returns (doc_id, clean_text, n_kept); ``clean_text`` is the
+    tokenizer-normalized reconstruction, same convention as
+    ``remove_dup_spans``.
+
+    Scale design — strictly CHEAPER than remove_dup_spans: the span
+    source is the tiny eval side, so its distinct shingles BROADCAST and
+    the corpus-sized span table never shuffles by span at all. The only
+    corpus shuffles are (doc, position) distinct-dedup of covered
+    positions and the id-keyed reassembly groupBy — both O(token
+    positions of CONTAMINATED docs), not of the corpus."""
+    ev = F.broadcast(
+        eval_docs.select(
+            F.explode(_shingles(F.col(text_col), n)).alias("span")
+        ).distinct()
+    )
+    from logpipe_spark.operators.dedup import _pos_spans
+
+    spans = docs.select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(_pos_spans(F.col(text_col), n)).alias("pos0", "span"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "span")
+    covered = (
+        spans.join(ev, "span")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(_tokens(F.col(text_col))).alias("tpos0", "tok"),
+    ).select("doc", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    rebuilt = (
+        toks.join(covered, ["doc", "tpos"], "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"))
+        .join(rebuilt.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def _prefilter_margin(keep_n: int) -> float:
     """Safety factor on the expected k-th-order-statistic hash cutoff.
 

@@ -795,3 +795,23 @@ def test_clean_text_nfc_controls_whitespace(spark):
     assert got[2] == "a b c"
     assert got[3] == "already clean"
     assert got[4] is None
+
+
+def test_remove_eval_spans_surgery(spark):
+    from logpipe_spark.operators.corpus import remove_eval_spans
+
+    eight = "q w e r t y u i"          # the contaminated 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {eight} cc dd"),   # contaminated in the middle
+            (2, "aa bb cc dd ee ff gg hh ii"),  # clean, passes through
+            (3, eight),                   # nothing but the span → empty
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, f"zz {eight} xx")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"])
+           for r in remove_eval_spans(docs, ev, n=8).collect()}
+    assert got[1] == ("aa bb cc dd", 4)
+    assert got[2] == ("aa bb cc dd ee ff gg hh ii", 9)
+    assert got[3] == ("", 0)
