@@ -28,6 +28,7 @@ from logpipe_spark.operators.corpus import (
     corpus_filter,
     decontaminate,
     pii_redact,
+    remove_eval_spans,
     sequence_pack,
     shuffle_corpus,
     temperature_mix,
@@ -50,6 +51,7 @@ def run_corpus_funnel(
     html_col: str | None = None,
     url_blocklist: DataFrame | None = None,
     classifier_threshold: float | None = None,
+    decontam_mode: str = "drop",
 ) -> dict:
     """[URL blocklist →] [HTML extract →] clean text → quality gate →
     [classifier gate →] exact dedup → near-dup keep-best →
@@ -65,7 +67,12 @@ def run_corpus_funnel(
     ``html_col`` runs the map-only tag-strip chain to produce ``text``,
     and ``classifier_threshold`` applies the hashed-linear quality model
     after the heuristic gate (both map-only; the heuristic first because
-    it is cheaper per byte)."""
+    it is cheaper per byte).
+
+    ``decontam_mode``: "drop" (default) removes whole contaminated
+    documents (the decontaminate flag); "excise" cuts only the
+    contaminated spans (remove_eval_spans) and keeps the remainder,
+    dropping a doc only when nothing survives."""
     funnel = {"input": docs.count()}
 
     if url_blocklist is not None:
@@ -129,10 +136,21 @@ def run_corpus_funnel(
     funnel["neardup_keep_best"] = deduped.count()
 
     if eval_docs is not None:
-        flags = decontaminate(deduped, eval_docs, n=8, min_overlap=3)
-        deduped = deduped.join(
-            flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-        )
+        if decontam_mode == "excise":
+            # span surgery: cut the contaminated 8-grams, keep the rest
+            # of the doc (drop only docs with nothing left)
+            cut = remove_eval_spans(deduped, eval_docs, n=8)
+            deduped = deduped.drop("text").join(
+                cut.filter(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+        else:
+            flags = decontaminate(deduped, eval_docs, n=8, min_overlap=3)
+            deduped = deduped.join(
+                flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+            )
         deduped = deduped.localCheckpoint()
         funnel["decontaminate"] = deduped.count()
 

@@ -815,3 +815,20 @@ def test_remove_eval_spans_surgery(spark):
     assert got[1] == ("aa bb cc dd", 4)
     assert got[2] == ("aa bb cc dd ee ff gg hh ii", 9)
     assert got[3] == ("", 0)
+
+
+def test_corpus_funnel_excise_mode_keeps_more(spark):
+    """decontam_mode='excise' must keep at least as many docs as 'drop'
+    (surgery only empties a doc that was all contamination) and the
+    downstream stages still run."""
+    from logpipe_spark.plans.corpus_funnel import run_corpus_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    drop = run_corpus_funnel(spark, docs.repartition(8), eval_docs=ev)
+    excise = run_corpus_funnel(
+        spark, docs.repartition(8), eval_docs=ev, decontam_mode="excise"
+    )
+    assert excise["decontaminate"] >= drop["decontaminate"]
+    assert excise["neardup_keep_best"] == drop["neardup_keep_best"]
+    assert excise["shuffled"] > 0
