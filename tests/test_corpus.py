@@ -832,3 +832,26 @@ def test_corpus_funnel_excise_mode_keeps_more(spark):
     assert excise["decontaminate"] >= drop["decontaminate"]
     assert excise["neardup_keep_best"] == drop["neardup_keep_best"]
     assert excise["shuffled"] > 0
+
+
+def test_clean_text_plan_is_map_only(spark):
+    """Normalization is per-row → the plan must contain no Exchange."""
+    from logpipe_spark.operators.corpus import clean_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = clean_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_remove_eval_spans_eval_side_broadcasts(spark):
+    """The scale claim: the eval shingle set broadcasts, so the
+    corpus-sized span table never shuffles by span — the plan must use
+    BroadcastHashJoin for the span match and never SortMergeJoin."""
+    from logpipe_spark.operators.corpus import remove_eval_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = remove_eval_spans(docs, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

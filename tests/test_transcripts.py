@@ -90,3 +90,12 @@ def test_fuzz_assemble_and_spans_vs_python_oracle(spark):
     texts = {(c, t): x for c, t, _, x in rows}
     for (c, t), (s, e) in got.items():
         assert got_docs[c][s:e] == texts[(c, t)]
+
+
+def test_assemble_plan_single_exchange_no_window(spark):
+    """One hash shuffle on the conversation key, no Window operator —
+    assembly must never sort whole partitions to order turns."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = assemble_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan

@@ -269,3 +269,17 @@ def test_fuzz_parity_canonical_url_spark_vs_duckdb(spark):
         )
     """).fetchall())
     assert got == want
+
+
+def test_url_dedup_plan_single_aggregate_exchange(spark):
+    """Canonicalization is map-only; the ONLY shuffle is the hash
+    aggregation on the canonical string (with a map-side partial)."""
+    from logpipe_spark.operators.urls import url_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.com/p?a=1") for i in range(100)],
+        "doc_id long, url string",
+    )
+    plan = url_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
