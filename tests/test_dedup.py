@@ -504,3 +504,44 @@ def test_incremental_neardup_short_docs_kept(spark):
     got = {r["doc_id"]: r["status"]
            for r in incremental_neardup(batch, idx).collect()}
     assert got == {1: "kept", 2: "kept", 3: "kept"}
+
+
+def test_fuzz_containment_vs_python_oracle(spark):
+    """Seeded random mini-corpora through containment_pairs vs a pure
+    python oracle (explicit shingle sets, same orientation + tie rule) —
+    guards the size-orientation logic beyond the hand cases."""
+    import random
+
+    from logpipe_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(0xD0C5)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for doc_id in range(60):
+        n = rng.randint(0, 14)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(text, n=3):
+        t = [x for x in text.lower().split(" ") if x]
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    sets = {d: sh(x) for d, x in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            small, big = (a, b) if len(sets[a]) < len(sets[b]) else (b, a)
+            c = inter / len(sets[small])
+            if c >= 0.9:
+                want[(small, big)] = (inter, c)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["containment"])
+        for r in containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    assert got == want
