@@ -730,12 +730,23 @@ def _pos_spans(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _span_key(span: Column, digest: bool) -> Column:
+    """Join/group key for a span: the raw string (byte-parity with the
+    SQL oracles), or its 16-byte md5 digest — the production form: a
+    60-byte average 8-gram string becomes a fixed 16-byte binary, so the
+    span-keyed shuffles move ~4× fewer key bytes. Collisions are a
+    non-issue at any corpus size (2^-64 birthday bound needs ~2^64
+    distinct spans)."""
+    return F.unhex(F.md5(span)) if digest else span
+
+
 def dup_span_stats(
     docs: DataFrame,
     n: int = 8,
     min_docs: int = 2,
     text_col: str = "text",
     key_col: str = "doc_id",
+    digest_spans: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span statistics: how many of a doc's token
     n-gram positions carry a span that also appears in ≥ ``min_docs``
@@ -754,14 +765,16 @@ def dup_span_stats(
     duplicated-span set on the span key → groupBy(doc) counts (id-keyed).
     No pairwise term at all — unlike ngram_jaccard_pairs there is no
     per-shingle quadratic, so no hot-shingle cap is needed; the widest
-    shuffle is O(total token positions). At production scale key the join
-    by a 128-bit span digest instead of the span string to cut shuffle
-    bytes (md5 halves as two longs); kept as raw strings here so the DuckDB
-    oracle is byte-identical with zero collision caveats."""
+    shuffle is O(total token positions). ``digest_spans=True`` keys the
+    shuffles by the 16-byte md5 of each span instead of the raw string —
+    the production form (~4× fewer shuffle key bytes for 8-gram spans;
+    output is identical, asserted by test); the default stays raw
+    strings so the DuckDB oracle is byte-identical with zero collision
+    caveats."""
     spans = docs.select(
         F.col(key_col).alias("doc"),
-        F.explode(_pos_spans(F.col(text_col), n)).alias("span"),
-    )
+        F.explode(_pos_spans(F.col(text_col), n)).alias("_raw"),
+    ).select("doc", _span_key(F.col("_raw"), digest_spans).alias("span"))
     dup = (
         spans.select("doc", "span")
         .distinct()
@@ -795,6 +808,7 @@ def remove_dup_spans(
     min_docs: int = 2,
     text_col: str = "text",
     key_col: str = "doc_id",
+    digest_spans: bool = False,
 ) -> DataFrame:
     """Rewrite each document with cross-document duplicated spans REMOVED —
     the removal half of the FineWeb/RefinedWeb span-dedup recipe whose
@@ -814,13 +828,18 @@ def remove_dup_spans(
     positions and distinct on (doc, position), (4) left-anti join of the
     token positions against the covered set (shuffle keyed by (doc, pos)),
     (5) groupBy(doc) ordered reassembly. The widest shuffle is O(total
-    token positions) keyed by span — same bound as dup_span_stats. At
-    production scale key steps 2-4 by a 128-bit span digest to cut shuffle
-    bytes; raw strings kept here so the DuckDB oracle is byte-identical."""
+    token positions) keyed by span — same bound as dup_span_stats.
+    ``digest_spans=True`` keys steps 2-4 by the 16-byte md5 of each span
+    — the production form (output identical, asserted by test); the
+    default stays raw strings so the DuckDB oracle is byte-identical."""
     spans = docs.select(
         F.col(key_col).alias("doc"),
-        F.posexplode(_pos_spans(F.col(text_col), n)).alias("pos0", "span"),
-    ).select("doc", (F.col("pos0") + 1).alias("pos"), "span")
+        F.posexplode(_pos_spans(F.col(text_col), n)).alias("pos0", "_raw"),
+    ).select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        _span_key(F.col("_raw"), digest_spans).alias("span"),
+    )
     dup = (
         spans.select("doc", "span")
         .distinct()

@@ -545,3 +545,16 @@ def test_fuzz_containment_vs_python_oracle(spark):
         for r in containment_pairs(df, n=3, threshold=0.9).collect()
     }
     assert got == want
+
+
+def test_digest_spans_mode_identical_output(spark):
+    """digest_spans=True (16-byte md5 shuffle keys — the production form)
+    must produce bit-identical results to the raw-string default for both
+    the stats and the removal rewrite."""
+    from logpipe_spark.operators.dedup import dup_span_stats, remove_dup_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn in (dup_span_stats, remove_dup_spans):
+        raw = sorted(map(tuple, fn(docs, n=8, min_docs=2).collect()))
+        dig = sorted(map(tuple, fn(docs, n=8, min_docs=2, digest_spans=True).collect()))
+        assert raw == dig, fn.__name__
