@@ -892,6 +892,7 @@ def dedup_lines(
     text_col: str = "text",
     key_col: str = "doc_id",
     delim: str = "\n",
+    digest_lines: bool = False,
 ) -> DataFrame:
     """Line-level exact dedup — the C4 / RefinedWeb boilerplate recipe:
     any line (trimmed, case-preserved) that occurs in ≥ ``min_docs``
@@ -912,8 +913,9 @@ def dedup_lines(
     — ONE shuffle keyed by line, partial agg collapses within-doc repeats
     map-side. (3) left join positions against the ≥min_docs line set (same
     line-keyed shuffle), (4) groupBy(doc) ordered reassembly (id-keyed).
-    At production scale key steps 2-3 by a 128-bit line digest to cut
-    shuffle bytes; raw strings kept here so the DuckDB oracle is
+    ``digest_lines=True`` keys steps 2-3 by the 16-byte md5 of each
+    line — the production form (output identical, asserted by test);
+    the default stays raw strings so the DuckDB oracle is
     byte-identical with zero collision caveats. Skew note: a universal
     boilerplate line ("END" in a billion docs) is a maximally hot key in
     step 3's join — broadcast the dup set when it fits (it usually does:
@@ -927,10 +929,11 @@ def dedup_lines(
         "doc",
         (F.col("pos0") + 1).alias("pos"),
         "raw",
-        F.trim(F.col("raw")).alias("line"),
+        _span_key(F.trim(F.col("raw")), digest_lines).alias("line"),
     )
+    blank = F.unhex(F.md5(F.lit(""))) if digest_lines else F.lit("")
     dup = (
-        lines.filter(F.col("line") != "")
+        lines.filter(F.col("line") != blank)
         .select("doc", "line")
         .distinct()
         .groupBy("line")

@@ -558,3 +558,22 @@ def test_digest_spans_mode_identical_output(spark):
         raw = sorted(map(tuple, fn(docs, n=8, min_docs=2).collect()))
         dig = sorted(map(tuple, fn(docs, n=8, min_docs=2, digest_spans=True).collect()))
         assert raw == dig, fn.__name__
+
+
+def test_digest_lines_mode_identical_output(spark):
+    """digest_lines=True must match the raw-string default bit-for-bit,
+    including the blank-line keep rule."""
+    from logpipe_spark.operators.dedup import dedup_lines
+
+    rows = []
+    for k in range(12):
+        body = "\n".join(f"body {k} line {j}" for j in range(3))
+        rows.append((k, f"BANNER {k % 3}\n\n{body}\nEND"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = sorted(map(tuple, dedup_lines(df, min_docs=2).collect()))
+    dig = sorted(map(tuple, dedup_lines(df, min_docs=2, digest_lines=True).collect()))
+    assert raw == dig
+    # sanity: boilerplate did get removed, blanks kept
+    out = dict((r[0], r[1]) for r in raw)
+    assert "BANNER" not in out[0] and "END" not in out[0]
+    assert "\n\n" in out[0] or out[0].startswith("\n")
