@@ -78,3 +78,90 @@ def conversation_ledger_stream(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASSEMBLE_STATE = "idxs ARRAY<LONG>, texts ARRAY<STRING>, max_ts_ms LONG"
+ASSEMBLE_OUTPUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("doc", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+    ]
+)
+
+
+def _make_assembler(gap_ms: int, sep: str):
+    def _assemble(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            idxs, texts, _ = state.get
+            order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "doc": [sep.join(texts[i] for i in order)],
+                    "n_turns": [len(idxs)],
+                }
+            )
+            return
+        if state.exists:
+            idxs, texts, max_ts = state.get
+            idxs, texts = list(idxs), list(texts)
+        else:
+            idxs, texts, max_ts = [], [], 0
+        for pdf in pdfs:
+            idxs += [int(x) for x in pdf["turn_idx"]]
+            texts += [("" if x is None else str(x)) for x in pdf["text"]]
+            ms = pdf["ts"].astype("datetime64[ms]").astype("int64")
+            max_ts = max(max_ts, int(ms.max()))
+        state.update((idxs, texts, max_ts))
+        state.setTimeoutTimestamp(max_ts + gap_ms)
+        yield pd.DataFrame({"conv_id": [], "doc": [], "n_turns": []})
+
+    return _assemble
+
+
+def assemble_conversations_stream(
+    stream_df: DataFrame,
+    gap: str = "10 minutes",
+    watermark_delay: str = "1 minute",
+    sep: str = "\n",
+) -> DataFrame:
+    """Streaming row-per-turn → document-per-conversation assembly — the
+    streaming form of ``operators.transcripts.assemble_documents``: turns
+    accumulate in per-conversation state, and the assembled document is
+    emitted exactly once, when the conversation has been idle past
+    ``gap`` in EVENT time (watermark-driven GroupStateTimeout — the same
+    close-on-idle rule as a session window, but the emission carries the
+    full ordered reconstruction, not just stats).
+
+    State is bounded by rate × gap (idle conversations are evicted at
+    emission), keyed by conv_id — the natural shuffle key. Same ordering
+    contract as the batch operator: turns sort by (turn_idx, text), so
+    arrival order across micro-batches never changes the output.
+
+    Watermark-lag note (same as every watermark test in this repo): the
+    watermark advances AFTER a batch completes, so a conversation's
+    document appears in the SECOND micro-batch after the data that
+    out-waits its gap."""
+    gap_ms = _parse_ms(gap)
+    return (
+        stream_df.withWatermark("ts", watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_assembler(gap_ms, sep),
+            outputStructType=ASSEMBLE_OUTPUT,
+            stateStructType=ASSEMBLE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_ms(interval: str) -> int:
+    """'10 minutes' / '30 seconds' / '2 hours' → milliseconds."""
+    qty, unit = interval.split()
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000}[
+        unit.rstrip("s")
+    ]
+    return int(qty) * mult
