@@ -121,3 +121,76 @@ def test_assemble_conversations_stream_emits_on_idle_gap(spark, tmp_path):
     assert "a" in emitted
     for conv, val in emitted.items():
         assert val == want[conv], conv
+
+
+def test_assemble_stream_restart_exactly_once(spark, tmp_path):
+    """Checkpoint resume: stop after the early snapshots, add a later one,
+    restart with the SAME checkpoint — each closed conversation's document
+    appears exactly once across both runs, with state carried over."""
+    import pandas as pd
+
+    from logpipe_spark.streaming.stateful import assemble_conversations_stream
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for k, conv in enumerate(["a", "b", "c"]):
+        for j in range(3):
+            rows.append(
+                (conv, j, "user", f"{conv} turn {j}", "none",
+                 t0 + pd.Timedelta(hours=k, seconds=j))
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "assembled")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            assemble_conversations_stream(stream, gap="10 minutes",
+                                          watermark_delay="1 minute")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: conversations a and b only — nothing can close yet or at
+    # most 'a' does, depending on snapshot order
+    write_snapshots(pdf[pdf["conv_id"] != "c"], src, n_snapshots=2)
+    run()
+    first = spark.read.parquet(out).collect() if os.listdir(out) else []
+
+    # run 2: conversation c arrives an hour later → advances the
+    # watermark past a's and b's gaps on resume
+    os.makedirs(os.path.join(src, "snapshot=2"), exist_ok=True)
+    pdf[pdf["conv_id"] == "c"].to_parquet(
+        os.path.join(src, "snapshot=2", "part-0.parquet"), index=False
+    )
+    run()
+
+    got = spark.read.parquet(out).collect()
+    counts = {}
+    for r in got:
+        counts[r["conv_id"]] = counts.get(r["conv_id"], 0) + 1
+    # exactly-once across the restart: no conversation emitted twice
+    assert all(v == 1 for v in counts.values()), counts
+    # 'a' must have closed by the end (c's data out-waits its gap, and
+    # the state carried over the restart held all of a's turns)
+    assert counts.get("a") == 1
+    a_doc = [r for r in got if r["conv_id"] == "a"][0]
+    assert a_doc["doc"] == "a turn 0\na turn 1\na turn 2"
+    assert a_doc["n_turns"] == 3
+    assert len(first) <= len(got)
