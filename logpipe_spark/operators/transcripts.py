@@ -56,22 +56,46 @@ def turn_spans(
     text_col: str = "text",
     role_col: str = "role",
     sep: str = "\n",
+    unit: str = "chars",
 ) -> DataFrame:
-    """Character-offset span of every turn inside its assembled document
-    (same ``sep`` convention as ``assemble_documents``): 0-based
-    half-open [start, end) with ``doc[start:end] == text``. The loss-mask
-    ingredient — a chat-SFT pipeline trains on the spans whose
-    ``role_col`` is the assistant and masks the rest.
+    """Span of every turn inside its assembled document (same ``sep``
+    convention as ``assemble_documents``): 0-based half-open
+    [start, end). The loss-mask ingredient — a chat-SFT pipeline trains
+    on the spans whose ``role_col`` is the assistant and masks the rest.
 
-    Exact integers only (lengths and a prefix sum), so any engine
-    reproduces it bit-for-bit."""
+    ``unit="chars"`` (default): character offsets,
+    ``doc[start:end] == text``. ``unit="tokens"``: whitespace-token
+    index offsets — ``doc.split()[start:end]`` equals the turn's own
+    tokens, the form a TOKEN budget (sequence_pack / chunk_documents)
+    masks by. Token spans require a whitespace ``sep`` (the separator
+    must contribute zero tokens) and turns are measured by their own
+    non-empty whitespace tokens, so empty turns own an empty span.
+
+    Exact integers only (lengths/counts and a prefix sum), so any
+    engine reproduces it bit-for-bit."""
+    if unit == "chars":
+        ln = F.length(F.col(text_col)).cast("long")
+        gap = len(sep)
+    elif unit == "tokens":
+        if sep.strip() != "":
+            raise ValueError(
+                f"unit='tokens' needs a whitespace sep, got {sep!r}"
+            )
+        ln = F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[ \t\n\r]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).cast("long")
+        gap = 0
+    else:
+        raise ValueError(f"unit must be 'chars' or 'tokens', got {unit!r}")
     w = (
         Window.partitionBy(group_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ln = F.length(F.col(text_col)).cast("long")
-    start = F.coalesce(F.sum(ln + len(sep)).over(w), F.lit(0)).cast("long")
+    start = F.coalesce(F.sum(ln + gap).over(w), F.lit(0)).cast("long")
     return df.select(
         F.col(group_col),
         F.col(order_col),

@@ -99,3 +99,26 @@ def test_assemble_plan_single_exchange_no_window(spark):
     plan = assemble_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan
+
+
+def test_turn_spans_token_unit(spark):
+    """unit='tokens': doc.split()[start:end] equals the turn's own
+    tokens — the form a token budget masks by. Empty turns own empty
+    spans; a non-whitespace sep is rejected."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    docs = {r["conv_id"]: r["doc"] for r in assemble_documents(df).collect()}
+    spans = turn_spans(df, unit="tokens").collect()
+    texts = {(c, t): x for c, t, _, x in ROWS}
+    for r in spans:
+        doc_toks = docs[r["conv_id"]].split()
+        own_toks = texts[(r["conv_id"], r["turn_idx"])].split()
+        assert doc_toks[r["start"]:r["end"]] == own_toks
+    empty = [r for r in spans if (r["conv_id"], r["turn_idx"]) == (1, 2)][0]
+    assert empty["start"] == empty["end"]
+
+    with _pytest.raises(ValueError, match="whitespace sep"):
+        turn_spans(df, sep="|", unit="tokens").collect()
+    with _pytest.raises(ValueError, match="chars.*tokens"):
+        turn_spans(df, unit="bytes").collect()
